@@ -109,6 +109,9 @@ class InviscidOperator(NamedTuple):
     ``bt``: (N, N) source -> midpoint-tangential influence.
     ``due_dsigma``: (N, N) edge-velocity sensitivity ``d(Vt)/d(sigma)`` —
     the mass-influence map used by the viscous-inviscid coupling.
+    ``dgamma_dsigma``: (N+1, N) vorticity sensitivity to body sources
+    (needed by the wake operator, which evaluates gamma-induced velocities
+    off-body).
     """
 
     pan: Paneling
@@ -120,6 +123,7 @@ class InviscidOperator(NamedTuple):
     at_b: jnp.ndarray
     bt: jnp.ndarray
     due_dsigma: jnp.ndarray
+    dgamma_dsigma: jnp.ndarray
 
 
 class InviscidSolution(NamedTuple):
@@ -135,9 +139,14 @@ class InviscidSolution(NamedTuple):
 
 
 def _gamma_columns(an_a, an_b):
-    """Assemble per-node columns from per-panel (start, end) influences."""
-    n = an_a.shape[0]
-    a = jnp.zeros((n, n + 1), an_a.dtype)
+    """Assemble per-node columns from per-panel (start, end) influences.
+
+    Input (P, N) per-panel maps; output (P, N+1) per-node maps (interior
+    nodes collect the end influence of one panel and the start influence of
+    the next).
+    """
+    p, n = an_a.shape
+    a = jnp.zeros((p, n + 1), an_a.dtype)
     a = a.at[:, :-1].add(an_a)
     a = a.at[:, 1:].add(an_b)
     return a
@@ -189,6 +198,14 @@ def build_operator(pan: Paneling) -> InviscidOperator:
     at_b = ub * tx + vb * ty
     bt = us * tx + vs * ty
 
+    # Transpiration boundary condition: the outer inviscid flow must LEAVE
+    # the surface at the blowing rate, (V . n_out) = sigma, not stay
+    # tangent — otherwise the vortex adjustment cancels the very outflow
+    # the sources model and the displacement effect on circulation is lost.
+    # In inward-normal terms the prescribed normal velocity is -sigma, so
+    # the identity joins the source self/induced influence in the RHS map.
+    bn = bn + jnp.eye(n, dtype=bn.dtype)
+
     an = _gamma_columns(an_a, an_b)
     a_full = jnp.zeros((n + 1, n + 1), an.dtype)
     a_full = a_full.at[:n, :].set(an)
@@ -206,7 +223,8 @@ def build_operator(pan: Paneling) -> InviscidOperator:
     at_full = _gamma_columns(at_a, at_b)              # (N, N+1)
     due_dsigma = at_full @ ginf + bt
 
-    return InviscidOperator(pan, a_full, lu, piv, bn, at_a, at_b, bt, due_dsigma)
+    return InviscidOperator(pan, a_full, lu, piv, bn, at_a, at_b, bt,
+                            due_dsigma, ginf)
 
 
 def _freestream(alpha_deg):

@@ -1,0 +1,329 @@
+"""Viscous-inviscid coupled airfoil solve.
+
+This module is the TPU-native equivalent of the reference's Strategy-1/2
+payload: one XFOIL viscous analysis (reference main.py:294-313, script
+``VISC re / ITER 500 / ALFA a`` at main.py:362-366). The architecture:
+
+1. One inviscid panel solve fixes the edge-velocity baseline ``Vt0`` and the
+   precomputed sensitivities ``d(Vt)/d(sigma_body)`` (build_operator) and
+   ``d(Vt)/d(sigma_wake)`` (build_wake_operator).
+2. The surface is split at the stagnation point (the ``Vt`` zero crossing
+   nearest the LE) and each side's edge velocity is re-sampled onto a fixed
+   station grid — static shapes regardless of alpha, which is what makes
+   the whole solve ``vmap``-able over (alpha, Re).
+3. Each side is marched (viscous.march) and its displacement body fed back
+   as transpiration sources ``sigma = d(Ue dstar)/ds``; the merged TE state
+   continues down a freestream-aligned wake line whose sources carry the
+   viscous decambering into the Kutta condition (most of the CL decrement).
+4. Steps 2-3 iterate a fixed number of under-relaxed passes (lax.scan) —
+   the role of XFOIL's global Newton cycle (ITER 500), with masked
+   convergence detection instead of data-dependent iteration counts.
+5. Profile drag comes from the Squire-Young extrapolation at the wake end;
+   friction drag from integrating Cf; Cp/CL/Cm from the final transpired
+   surface speeds.
+
+Non-convergence (stall, massive separation) surfaces as ``converged=False``
+— the batched analog of XFOIL's "VISCAL: Convergence failed" string that
+drives the reference's strategy fallback (main.py:441-447).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from airfoil_tpu.inviscid.panel_solver import (
+    InviscidOperator,
+    _freestream,
+    solve_inviscid,
+)
+from airfoil_tpu.viscous.march import BLState, march_side, march_wake
+from airfoil_tpu.viscous.wake import WakeOperator, build_wake_operator
+
+__all__ = ["SideBL", "ViscousResult", "solve_viscous"]
+
+
+class SideBL(NamedTuple):
+    """Boundary-layer arrays along one side, stagnation -> trailing edge."""
+
+    x: jnp.ndarray
+    y: jnp.ndarray
+    s: jnp.ndarray        # arc distance from stagnation point
+    ue: jnp.ndarray       # edge velocity / U_inf (final coupled)
+    theta: jnp.ndarray
+    dstar: jnp.ndarray
+    hk: jnp.ndarray
+    cf: jnp.ndarray
+    turb: jnp.ndarray
+    x_transition: jnp.ndarray
+
+
+class ViscousResult(NamedTuple):
+    cl: jnp.ndarray
+    cd: jnp.ndarray
+    cdp: jnp.ndarray      # pressure (form) drag = cd - cd_friction
+    cm: jnp.ndarray
+    cp: jnp.ndarray       # (N,) viscous Cp at panel midpoints
+    upper: SideBL
+    lower: SideBL
+    converged: jnp.ndarray       # bool
+    sep_fraction: jnp.ndarray    # fraction of stations with Hk cap engaged
+    sigma: jnp.ndarray           # (N,) final body transpiration strengths
+    sigma_wake: jnp.ndarray      # (Mw,) final wake transpiration strengths
+
+
+def _station_fractions(m: int, dtype) -> jnp.ndarray:
+    """Station spacing: clustered at the stagnation point only.
+
+    Clustering at the TE as well turned out to be destabilising: the panel
+    Vt carries slight wiggles on the sliver TE panels, and tiny TE steps
+    amplify d(Ue dstar)/ds noise into transpiration spikes.
+    """
+    u = jnp.linspace(0.0, 1.0, m + 1, dtype=dtype)[1:]
+    return u**1.6
+
+
+def _find_stagnation(s_mid, vt, s_le):
+    """Arc position of the Vt sign change (- on upper, + on lower side).
+
+    Transpiration feedback can flip the sign of Vt on the unreliable sliver
+    panels at a sharp TE, so rather than taking the *first* negative->positive
+    crossing, the crossing nearest the leading edge (arc position ``s_le``)
+    is selected — the physical stagnation point always lives there for the
+    service's alpha envelope (reference main.py:44-45: -10..+20 deg).
+    """
+    n = vt.shape[0]
+    crossing = jnp.concatenate([
+        jnp.zeros((1,), bool),
+        jnp.logical_and(vt[:-1] < 0.0, vt[1:] >= 0.0),
+    ])
+    dist = jnp.abs(s_mid - s_le) + jnp.where(crossing, 0.0, 1e6)
+    j = jnp.clip(jnp.argmin(dist), 1, n - 1)
+    v0 = vt[j - 1]
+    v1 = vt[j]
+    frac = jnp.clip(-v0 / jnp.where(jnp.abs(v1 - v0) < 1e-12, 1e-12, v1 - v0),
+                    0.0, 1.0)
+    return s_mid[j - 1] + frac * (s_mid[j] - s_mid[j - 1])
+
+
+def _sample_side(s_mid, values, s_query):
+    return jnp.interp(s_query, s_mid, values)
+
+
+def _side_stations(pan, vt, s0, upper: bool, m: int):
+    """Station grid (arc xi from stagnation), Ue, x, y for one side.
+
+    The first and last panel midpoints (the sharp-TE sliver panels, whose
+    Vt is least reliable) are excluded from the interpolation stencil.
+    """
+    dtype = vt.dtype
+    s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
+    s_in = s_mid[1:-1]
+    vt_in = vt[1:-1]
+    frac = _station_fractions(m, dtype)
+    if upper:
+        length = s0 - pan.s[0]
+        xi = frac * length
+        s_q = s0 - xi
+        ue = -_sample_side(s_in, vt_in, s_q)
+    else:
+        length = pan.s[-1] - s0
+        xi = frac * length
+        s_q = s0 + xi
+        ue = _sample_side(s_in, vt_in, s_q)
+    ue = jnp.maximum(ue, 0.02)
+    x = _sample_side(s_mid, pan.xm, s_q)
+    y = _sample_side(s_mid, pan.ym, s_q)
+    return xi, s_q, ue, x, y
+
+
+def _smooth_clip_derivative(xi, mval, clip=2.0):
+    """d(m)/d(xi) with light smoothing — the derivative amplifies station
+    noise, and the direct coupling iteration is only neutrally stable
+    against short-wave sigma modes."""
+    d = jnp.gradient(mval) / jnp.maximum(jnp.gradient(xi), 1e-9)
+    for _ in range(2):
+        d = jnp.concatenate([
+            d[:1],
+            0.25 * d[:-2] + 0.5 * d[1:-1] + 0.25 * d[2:],
+            d[-1:],
+        ])
+    return jnp.clip(d, -clip, clip)
+
+
+def _sigma_from_sides(pan, s0, xi_u, m_u, xi_l, m_l):
+    """Map per-side mass defect m = Ue*dstar to panel source strengths."""
+    sig_u = _smooth_clip_derivative(xi_u, m_u)
+    sig_l = _smooth_clip_derivative(xi_l, m_l)
+    s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
+    xi_panel_u = jnp.clip(s0 - s_mid, 0.0, None)
+    xi_panel_l = jnp.clip(s_mid - s0, 0.0, None)
+    sigma = jnp.where(
+        s_mid < s0,
+        jnp.interp(xi_panel_u, xi_u, sig_u),
+        jnp.interp(xi_panel_l, xi_l, sig_l),
+    )
+    return sigma
+
+
+def _forces_from_cp(pan, cp, alpha_deg):
+    """Integrate surface Cp to (cl, cm, cd_pressure)."""
+    ds = pan.length
+    fx = jnp.sum(cp * pan.nx * ds)
+    fy = jnp.sum(cp * pan.ny * ds)
+    ca, sa = _freestream(alpha_deg)
+    cl = fy * ca - fx * sa
+    cdp = fx * ca + fy * sa
+    cm = -jnp.sum(
+        cp * ds * ((pan.xm - 0.25) * pan.ny - pan.ym * pan.nx)
+    )
+    return cl, cm, cdp
+
+
+@partial(jax.jit, static_argnames=("n_stations", "n_wake", "coupling_iters"))
+def solve_viscous(
+    op: InviscidOperator,
+    alpha_deg: jnp.ndarray,
+    reynolds: jnp.ndarray,
+    n_crit: float = 9.0,
+    x_forced_transition: float = 1.0,
+    n_stations: int = 80,
+    n_wake: int = 32,
+    coupling_iters: int = 36,
+    relax: float = 0.3,
+) -> ViscousResult:
+    """Coupled viscous solve at one (alpha, Re). vmap over either or both."""
+    pan = op.pan
+    nu = 1.0 / reynolds
+    dtype = pan.xm.dtype
+
+    sol0 = solve_inviscid(op, alpha_deg)
+    vt0 = sol0.vt
+    n = vt0.shape[0]
+    m = n_stations
+
+    wop: WakeOperator = build_wake_operator(op, alpha_deg, n_wake=n_wake)
+    te_gap = jnp.hypot(pan.xp[0] - pan.xp[-1], pan.yp[0] - pan.yp[-1])
+
+    s_le = pan.s[jnp.argmin(pan.xp)]
+    s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
+
+    def march_all(sigma_b, sigma_w):
+        vt = vt0 + op.due_dsigma @ sigma_b + wop.dvt_dsigw @ sigma_w
+        s0 = _find_stagnation(s_mid, vt, s_le)
+        xi_u, _sq, ue_u, x_u, y_u = _side_stations(pan, vt, s0, True, m)
+        xi_l, _sq, ue_l, x_l, y_l = _side_stations(pan, vt, s0, False, m)
+        bl_u = march_side(xi_u, ue_u, x_u, nu, n_crit, x_forced_transition)
+        bl_l = march_side(xi_l, ue_l, x_l, nu, n_crit, x_forced_transition)
+
+        ue_w = jnp.maximum(wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w,
+                           0.05)
+        th0 = bl_u.theta[-1] + bl_l.theta[-1]
+        ds0 = bl_u.dstar[-1] + bl_l.dstar[-1] + te_gap
+
+        def te_ctau(bl: BLState):
+            c = jnp.where(jnp.isnan(bl.ctau[-1]), 1e-4, bl.ctau[-1])
+            return jnp.clip(c, 1e-5, 0.3)
+
+        ct0 = ((te_ctau(bl_u) * bl_u.theta[-1]
+                + te_ctau(bl_l) * bl_l.theta[-1])
+               / jnp.maximum(th0, 1e-10))
+        th_w, ds_w, hk_w = march_wake(wop.xi, ue_w, nu, th0, ds0, ct0)
+
+        return vt, s0, (xi_u, ue_u, x_u, y_u, bl_u), \
+            (xi_l, ue_l, x_l, y_l, bl_l), (ue_w, th_w, ds_w, hk_w)
+
+    # The direct under-relaxed iteration settles into a small limit cycle
+    # (pumped by station-quantised transition movement) around the true
+    # fixed point rather than converging to it; averaging the iterates over
+    # the tail of the loop extracts the cycle centre. Convergence is judged
+    # by the CL spread across the averaging window — the batched analog of
+    # XFOIL's "VISCAL: Convergence failed" (reference main.py:441-447).
+    avg_from = coupling_iters // 3
+
+    def body(carry, it):
+        sigma_b, sigma_w, acc_b, acc_w = carry
+        vt, s0, up, lo, wake = march_all(sigma_b, sigma_w)
+        xi_u, ue_u, _xu, _yu, bl_u = up
+        xi_l, ue_l, _xl, _yl, bl_l = lo
+        ue_w, th_w, ds_w, _hk_w = wake
+
+        sb_new = _sigma_from_sides(
+            pan, s0, xi_u, ue_u * bl_u.dstar, xi_l, ue_l * bl_l.dstar
+        )
+        sw_new = _smooth_clip_derivative(wop.xi, ue_w * ds_w)
+        sb_new = jnp.where(jnp.isfinite(sb_new), sb_new, sigma_b)
+        sw_new = jnp.where(jnp.isfinite(sw_new), sw_new, sigma_w)
+
+        sigma_b = sigma_b + relax * (sb_new - sigma_b)
+        sigma_w = sigma_w + relax * (sw_new - sigma_w)
+
+        in_window = (it >= avg_from).astype(dtype)
+        acc_b = acc_b + in_window * sigma_b
+        acc_w = acc_w + in_window * sigma_w
+
+        vt_now = (vt0 + op.due_dsigma @ sigma_b + wop.dvt_dsigw @ sigma_w)
+        cl, _cm, _cdp = _forces_from_cp(pan, 1.0 - vt_now**2, alpha_deg)
+        cl = jnp.where(in_window > 0, cl, jnp.nan)
+        return (sigma_b, sigma_w, acc_b, acc_w), cl
+
+    init = (jnp.zeros((n,), dtype), jnp.zeros((n_wake,), dtype),
+            jnp.zeros((n,), dtype), jnp.zeros((n_wake,), dtype))
+    (_, _, acc_b, acc_w), cl_hist = jax.lax.scan(
+        body, init, jnp.arange(coupling_iters)
+    )
+    n_avg = coupling_iters - avg_from
+    sigma_b = acc_b / n_avg
+    sigma_w = acc_w / n_avg
+    cl_window = cl_hist[avg_from:]
+    cl_spread = jnp.nanmax(cl_window) - jnp.nanmin(cl_window)
+
+    # Final state at the settled transpiration.
+    vt, s0, up, lo, wake = march_all(sigma_b, sigma_w)
+    xi_u, ue_u, x_u, y_u, bl_u = up
+    xi_l, ue_l, x_l, y_l, bl_l = lo
+    ue_w, th_w, ds_w, hk_w = wake
+
+    cp = 1.0 - vt * vt
+    cl, cm, cdp_raw = _forces_from_cp(pan, cp, alpha_deg)
+
+    # Squire-Young extrapolation from the wake end (H there is already
+    # close to 1, making the formula's exponent benign).
+    h_end = jnp.clip(hk_w[-1], 1.0, 2.5)
+    ue_end = jnp.clip(ue_w[-1], 0.2, 1.5)
+    cd = 2.0 * th_w[-1] * ue_end ** (0.5 * (h_end + 5.0))
+
+    def friction_drag(bl: BLState, ue, x):
+        integrand = bl.cf * ue**2
+        return jnp.sum(
+            0.5 * (integrand[1:] + integrand[:-1]) * jnp.abs(jnp.diff(x))
+        )
+
+    cdf = friction_drag(bl_u, ue_u, x_u) + friction_drag(bl_l, ue_l, x_l)
+    cdp = cd - cdf
+
+    sep_u = jnp.mean(bl_u.separated.astype(dtype))
+    sep_l = jnp.mean(bl_l.separated.astype(dtype))
+    sep_fraction = 0.5 * (sep_u + sep_l)
+
+    finite = (jnp.all(jnp.isfinite(sigma_b)) & jnp.all(jnp.isfinite(sigma_w))
+              & jnp.isfinite(cl) & jnp.isfinite(cd))
+    settled = cl_spread < 0.12
+    mild_sep = sep_fraction < 0.12
+    converged = finite & settled & mild_sep
+
+    def side(bl: BLState, xi, ue, x, y) -> SideBL:
+        return SideBL(x=x, y=y, s=xi, ue=ue, theta=bl.theta,
+                      dstar=bl.dstar, hk=bl.hk, cf=bl.cf, turb=bl.turb,
+                      x_transition=bl.x_transition)
+
+    return ViscousResult(
+        cl=cl, cd=cd, cdp=cdp, cm=cm, cp=cp,
+        upper=side(bl_u, xi_u, ue_u, x_u, y_u),
+        lower=side(bl_l, xi_l, ue_l, x_l, y_l),
+        converged=converged, sep_fraction=sep_fraction,
+        sigma=sigma_b, sigma_wake=sigma_w,
+    )
