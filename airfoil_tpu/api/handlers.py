@@ -1,0 +1,237 @@
+"""Transport-independent API handlers.
+
+All endpoint logic lives here as plain functions mapping parsed inputs to
+``(status_code, payload_dict)``; the FastAPI app (``server.py``) and the
+dependency-free stdlib server (``minihttp.py``) are thin transports over
+these. Contracts follow the reference backend (main.py:522-634): identical
+validation envelope and the exact ``/upload_airfoil/`` response schema
+(main.py:605-615).
+"""
+
+from __future__ import annotations
+
+import base64
+import logging
+import threading
+import time
+import uuid
+
+import numpy as np
+
+from airfoil_tpu import config
+from airfoil_tpu.geometry import (
+    AirfoilParseError,
+    is_multi_element,
+    parse_dat_text,
+)
+from airfoil_tpu.utils.stats import increment_analysis_count
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "ApiError", "handle_root", "handle_health", "handle_upload",
+    "handle_polar", "LBMSessions",
+]
+
+
+class ApiError(Exception):
+    def __init__(self, status_code: int, detail: str):
+        super().__init__(detail)
+        self.status_code = status_code
+        self.detail = detail
+
+
+def parse_upload(filename: str, content: bytes):
+    """Shared validation + parse path for any endpoint taking a .dat file."""
+    if len(content) > config.MAX_FILE_SIZE:
+        raise ApiError(400, f"File too large (max "
+                            f"{config.MAX_FILE_SIZE / (1024 * 1024)}MB)")
+    if not filename.endswith(".dat"):
+        raise ApiError(400, "Only .dat files accepted")
+    try:
+        coords, fixes = parse_dat_text(
+            content.decode("utf-8", errors="ignore"))
+    except AirfoilParseError as e:
+        raise ApiError(e.status_code, e.detail)
+    if len(coords) > config.MAX_POINTS:
+        raise ApiError(400, f"Too many points (max {config.MAX_POINTS})")
+    if is_multi_element(coords):
+        raise ApiError(400, "Multi-element airfoil detected — "
+                            "single-element analysis only")
+    return coords, fixes
+
+
+def validate_envelope(reynolds: float, alpha: float):
+    if not (config.MIN_REYNOLDS <= reynolds <= config.MAX_REYNOLDS):
+        raise ApiError(400, f"Reynolds must be {config.MIN_REYNOLDS:,.0f} "
+                            f"to {config.MAX_REYNOLDS:,.0f}")
+    if not (config.MIN_ALPHA <= alpha <= config.MAX_ALPHA):
+        raise ApiError(400, f"Alpha must be {config.MIN_ALPHA:.0f} to "
+                            f"{config.MAX_ALPHA:.0f} degrees")
+
+
+def handle_root():
+    return 200, {"status": "ok", "service": "Airfoil TPU CFD API"}
+
+
+def handle_health():
+    import jax
+
+    try:
+        dev = jax.devices()[0]
+        backend = dev.platform
+        detail = str(dev)
+    except Exception as e:  # pragma: no cover
+        backend, detail = "none", str(e)
+    return 200, {
+        "status": "healthy" if backend != "none" else "degraded",
+        "solver": "airfoil_tpu",
+        "backend": backend,
+        "accelerator": backend not in ("cpu", "none"),
+        "device": detail,
+    }
+
+
+def handle_upload(filename: str, content: bytes,
+                  reynolds: float, alpha: float):
+    validate_envelope(reynolds, alpha)
+    coords, parser_fixes = parse_upload(filename, content)
+    run_id = str(uuid.uuid4())[:8]
+    logger.info("request %s: %s Re=%g alpha=%g (%d pts)",
+                run_id, filename, reynolds, alpha, len(coords))
+
+    from airfoil_tpu.polar import analyze_airfoil
+
+    t0 = time.perf_counter()
+    result = analyze_airfoil(coords, reynolds, alpha)
+    logger.info("request %s done in %.3fs (mode=%s strategy=%d)",
+                run_id, time.perf_counter() - t0, result.mode,
+                result.strategy)
+    increment_analysis_count()
+    return 200, {
+        "success": True,
+        "coords_before": coords,
+        "coords_after": coords,
+        "num_points": len(coords),
+        "cp_x": result.cp_x,
+        "cp_values": result.cp_values,
+        "coefficients": result.coefficients,
+        "bl_data": result.bl_data,
+        "parser_fixes": parser_fixes,
+    }
+
+
+def handle_polar(filename: str, content: bytes, reynolds: float,
+                 alpha_start: float, alpha_end: float, alpha_step: float):
+    validate_envelope(reynolds, alpha_start)
+    validate_envelope(reynolds, alpha_end)
+    if not (0.1 <= alpha_step <= 5.0):
+        raise ApiError(400, "alpha_step must be in [0.1, 5]")
+    coords, parser_fixes = parse_upload(filename, content)
+    alphas = np.arange(alpha_start, alpha_end + 1e-6, alpha_step,
+                       dtype=np.float32)
+    if len(alphas) > 128:
+        raise ApiError(400, "Too many polar points (max 128)")
+
+    from airfoil_tpu.polar import solve_polar
+
+    t0 = time.perf_counter()
+    res = solve_polar(np.asarray(coords, np.float32), alphas, reynolds)
+    np.asarray(res.cl)  # force completion before timing
+    dt = time.perf_counter() - t0
+    increment_analysis_count()
+    mode_names = {0: "viscous", 1: "viscous", 2: "inviscid"}
+    return 200, {
+        "success": True,
+        "num_points": len(coords),
+        "parser_fixes": parser_fixes,
+        "reynolds": reynolds,
+        "elapsed_seconds": round(dt, 4),
+        "polar": [
+            {
+                "alpha": float(res.alpha[i]),
+                "CL": round(float(res.cl[i]), 4),
+                "CD": round(float(res.cd[i]), 6),
+                "CDp": round(float(res.cdp[i]), 6),
+                "Cm": round(float(res.cm[i]), 4),
+                "mode": mode_names[int(res.mode[i])],
+                "converged": bool(res.converged[i]),
+                "xtr_upper": round(float(res.xtr_upper[i]), 4),
+                "xtr_lower": round(float(res.xtr_lower[i]), 4),
+            }
+            for i in range(len(alphas))
+        ],
+    }
+
+
+def _b64_field(arr) -> dict:
+    a = np.ascontiguousarray(np.asarray(arr, np.float32))
+    return {
+        "shape": list(a.shape),
+        "dtype": "float32",
+        "data": base64.b64encode(a.tobytes()).decode("ascii"),
+    }
+
+
+class LBMSessions:
+    """Wind-tunnel session registry (thread-safe, bounded)."""
+
+    def __init__(self, max_sessions: int = 8):
+        self._lock = threading.Lock()
+        self._tunnels: dict[str, object] = {}
+        self._max = max_sessions
+
+    def start(self, filename: str, content: bytes, alpha: float):
+        coords, _fixes = parse_upload(filename, content)
+
+        from airfoil_tpu.lbm import WindTunnel
+
+        wt = WindTunnel(np.asarray(coords, np.float64))
+        wt.set_alpha(alpha)
+        session = str(uuid.uuid4())[:8]
+        with self._lock:
+            while len(self._tunnels) >= self._max:
+                self._tunnels.pop(next(iter(self._tunnels)))
+            self._tunnels[session] = wt
+        cfg = wt.cfg
+        return 200, {
+            "session": session,
+            "grid": [cfg.ny, cfg.nx],
+            "domain": [cfg.dx0, cfg.dx1, cfg.dy0, cfg.dy1],
+            "tau": cfg.tau,
+            "u0": cfg.u0,
+        }
+
+    def frame(self, session: str, alpha=None, u0=None, fields="speed"):
+        wt = self._tunnels.get(session)
+        if wt is None:
+            raise ApiError(404, "Unknown session")
+        if alpha is not None and abs(alpha - wt.state.alpha) > 1e-6:
+            wt.set_alpha(alpha)
+        if u0 is not None:
+            wt.set_u0(u0)
+        out = wt.frame()
+        want = set(fields.split(","))
+        return 200, {
+            "cl": round(out["cl"], 4),
+            "cd": round(out["cd"], 4),
+            "separation": round(out["separation"], 4),
+            "reynolds": round(out["reynolds"], 1),
+            "step": out["step"],
+            "alpha": out["alpha"],
+            "fields": {k: _b64_field(v) for k, v in out["fields"].items()
+                       if k in want},
+            "outline": np.asarray(out["outline"],
+                                  np.float64).round(5).tolist(),
+        }
+
+    def stop(self, session: str):
+        with self._lock:
+            self._tunnels.pop(session, None)
+        return 200, {"stopped": session}
+
+
+def handle_stats():
+    from airfoil_tpu.utils.stats import get_analysis_count
+
+    return 200, {"total_analyses": get_analysis_count()}

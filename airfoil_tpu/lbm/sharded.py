@@ -1,0 +1,94 @@
+"""Spatially-decomposed LBM over a device mesh (halo exchange on ICI).
+
+Scaling path for grids beyond one chip's appetite: the lattice is sharded
+along rows (y) across the mesh, each step exchanges one-row halos with the
+two neighbours via ``lax.ppermute`` (nearest-neighbour traffic -> rides the
+ICI ring), and the fused stream-collide body runs unchanged on the extended
+local block with the *global* boundary masks sharded alongside the state.
+This is the framework's sequence-parallel analog (SURVEY.md section 5: the
+reference has no distributed dimension at all).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+try:
+    from jax import shard_map
+except ImportError:  # older jax
+    from jax.experimental.shard_map import shard_map
+
+from airfoil_tpu.lbm.core import boundary_masks, step_body
+
+__all__ = ["sharded_lbm_steps", "dryrun_sharded_step"]
+
+
+def sharded_lbm_steps(mesh: Mesh, f, solid, u0, tau, steps: int):
+    """Advance ``steps`` LBM steps with rows sharded over mesh axis 0.
+
+    ``f``: (9, NY, NX) with NY divisible by the mesh size. Returns the
+    advanced (9, NY, NX), still sharded.
+    """
+    axis = mesh.axis_names[0]
+    n_dev = mesh.devices.size
+    ny = f.shape[1]
+    assert ny % n_dev == 0, f"NY={ny} not divisible by {n_dev} devices"
+
+    is_outlet, is_edge_eq = boundary_masks(ny, f.shape[2])
+
+    fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+    bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
+
+    def halo_extend(a, row_axis):
+        """Concatenate the neighbours' adjacent rows around the local block."""
+        top = lax.slice_in_dim(a, a.shape[row_axis] - 1, a.shape[row_axis],
+                               axis=row_axis)
+        bot = lax.slice_in_dim(a, 0, 1, axis=row_axis)
+        from_below = lax.ppermute(top, axis, fwd)   # row below our block
+        from_above = lax.ppermute(bot, axis, bwd)   # row above our block
+        return jnp.concatenate([from_below, a, from_above], axis=row_axis)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, axis, None), P(axis, None),
+                  P(axis, None), P(axis, None)),
+        out_specs=P(None, axis, None),
+        check_rep=False,
+    )
+    def stepper(f_loc, solid_loc, outlet_loc, edge_loc):
+        solid_ext = halo_extend(solid_loc, 0)
+        outlet_ext = halo_extend(outlet_loc, 0)
+        edge_ext = halo_extend(edge_loc, 0)
+
+        def one(_, fc):
+            f_ext = halo_extend(fc, 1)
+            out = step_body(f_ext, solid_ext, u0, tau,
+                            masks=(outlet_ext, edge_ext))
+            return out[:, 1:-1, :]
+
+        return lax.fori_loop(0, steps, one, f_loc)
+
+    return stepper(f, solid, is_outlet, is_edge_eq)
+
+
+def dryrun_sharded_step(mesh: Mesh) -> None:
+    """Tiny-shape smoke run of the spatially-sharded step (driver dry run)."""
+    from airfoil_tpu.config import LBMConfig
+    from airfoil_tpu.lbm.core import equilibrium_init
+    from airfoil_tpu.lbm.masks import rasterize_airfoil
+    from airfoil_tpu.models import naca4
+
+    n_dev = mesh.devices.size
+    ny = max(8 * n_dev, 32)
+    nx = 64
+    cfg = LBMConfig(nx=nx, ny=ny)
+    f = equilibrium_init(ny, nx, cfg.u0)
+    solid = jnp.asarray(rasterize_airfoil(naca4(0, 0, 12, 30), 4.0, cfg))
+    out = sharded_lbm_steps(mesh, f, solid, cfg.u0, cfg.tau, steps=4)
+    out.block_until_ready()
+    assert bool(jnp.all(jnp.isfinite(out))), "sharded LBM produced non-finite"

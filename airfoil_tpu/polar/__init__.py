@@ -1,0 +1,4 @@
+from airfoil_tpu.polar.sweep import PolarResult, solve_polar
+from airfoil_tpu.polar.analyze import AnalysisResult, analyze_airfoil
+
+__all__ = ["PolarResult", "solve_polar", "AnalysisResult", "analyze_airfoil"]

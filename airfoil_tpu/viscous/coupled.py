@@ -191,8 +191,8 @@ def solve_viscous(
     n_crit: float = 9.0,
     x_forced_transition: float = 1.0,
     n_stations: int = 80,
-    n_wake: int = 32,
-    coupling_iters: int = 36,
+    n_wake: int = 24,
+    coupling_iters: int = 24,
     relax: float = 0.3,
 ) -> ViscousResult:
     """Coupled viscous solve at one (alpha, Re). vmap over either or both."""
@@ -211,13 +211,24 @@ def solve_viscous(
     s_le = pan.s[jnp.argmin(pan.xp)]
     s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
 
+    # The two surface marches are independent given Vt; vmapping them into
+    # one (2, M) batch halves the sequential op count of each coupling pass
+    # (the solve is dispatch-latency-bound, not FLOP-bound).
+    march_pair = jax.vmap(
+        lambda s, ue, x: march_side(s, ue, x, nu, n_crit,
+                                    x_forced_transition))
+
     def march_all(sigma_b, sigma_w):
         vt = vt0 + op.due_dsigma @ sigma_b + wop.dvt_dsigw @ sigma_w
         s0 = _find_stagnation(s_mid, vt, s_le)
         xi_u, _sq, ue_u, x_u, y_u = _side_stations(pan, vt, s0, True, m)
         xi_l, _sq, ue_l, x_l, y_l = _side_stations(pan, vt, s0, False, m)
-        bl_u = march_side(xi_u, ue_u, x_u, nu, n_crit, x_forced_transition)
-        bl_l = march_side(xi_l, ue_l, x_l, nu, n_crit, x_forced_transition)
+        bl2: BLState = march_pair(
+            jnp.stack([xi_u, xi_l]),
+            jnp.stack([ue_u, ue_l]),
+            jnp.stack([x_u, x_l]))
+        bl_u = jax.tree.map(lambda a: a[0], bl2)
+        bl_l = jax.tree.map(lambda a: a[1], bl2)
 
         ue_w = jnp.maximum(wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w,
                            0.05)

@@ -1,0 +1,85 @@
+"""Polar sweep and three-strategy fallback tests."""
+
+import numpy as np
+import pytest
+
+from airfoil_tpu.models import naca4
+from airfoil_tpu.polar import analyze_airfoil, solve_polar
+from airfoil_tpu.polar.sweep import (
+    MODE_INVISCID, MODE_VISCOUS, MODE_VISCOUS_SMOOTHED,
+)
+
+
+@pytest.fixture(scope="module")
+def polar2412():
+    alphas = np.arange(-4.0, 12.1, 2.0, dtype=np.float32)
+    return alphas, solve_polar(naca4(2, 4, 12, 80), alphas, 1e6,
+                               n_panels=128)
+
+
+class TestPolar:
+    def test_shapes_and_monotone_lift(self, polar2412):
+        alphas, res = polar2412
+        assert res.cl.shape == alphas.shape
+        cl = np.asarray(res.cl)
+        # Pre-stall lift curve is monotone increasing.
+        assert np.all(np.diff(cl) > 0)
+
+    def test_drag_positive_where_viscous(self, polar2412):
+        _, res = polar2412
+        cd = np.asarray(res.cd)
+        mode = np.asarray(res.mode)
+        assert np.all(cd[mode != MODE_INVISCID] > 0)
+
+    def test_mostly_viscous_in_linear_range(self, polar2412):
+        alphas, res = polar2412
+        mode = np.asarray(res.mode)
+        # The linear range (|alpha| <= 8) should solve viscously; near/past
+        # stall the inviscid fallback is expected and correct.
+        linear = np.abs(alphas) <= 6
+        assert np.mean(mode[linear] == MODE_VISCOUS) > 0.5
+
+    def test_every_point_has_a_mode(self, polar2412):
+        _, res = polar2412
+        assert np.all(np.asarray(res.converged))
+        assert set(np.asarray(res.mode)).issubset(
+            {MODE_VISCOUS, MODE_VISCOUS_SMOOTHED, MODE_INVISCID})
+
+    def test_drag_bucket_in_linear_range(self, polar2412):
+        alphas, res = polar2412
+        cd = np.asarray(res.cd)
+        mode = np.asarray(res.mode)
+        sel = (np.abs(alphas) <= 6) & (mode == MODE_VISCOUS)
+        assert np.all(cd[sel] < 0.02)
+        assert np.all(cd[sel] > 0.003)
+
+
+class TestAnalyze:
+    def test_viscous_point_full_contract(self):
+        r = analyze_airfoil(naca4(2, 4, 12, 80), reynolds=1e6, alpha=4.0,
+                            n_panels=128)
+        assert r.mode == "viscous"
+        assert r.strategy in (1, 2)
+        c = r.coefficients
+        assert set(c) >= {"CL", "CD", "CDp", "Cm", "mode"}
+        assert "warning" not in c
+        assert len(r.cp_x) == len(r.cp_values) == 128
+        bl = r.bl_data
+        assert bl is not None
+        assert set(bl) == {"upper", "lower", "transition_upper_x",
+                           "transition_lower_x"}
+        row = bl["upper"][0]
+        assert set(row) == {"x", "y", "dstar", "theta", "cf", "H"}
+        # Upper section runs TE -> LE (XFOIL DUMP convention).
+        assert bl["upper"][0]["x"] > bl["upper"][-1]["x"]
+        assert bl["lower"][0]["x"] < bl["lower"][-1]["x"]
+
+    def test_inviscid_fallback_contract(self):
+        # Deep stall: viscous strategies fail -> inviscid with warning.
+        r = analyze_airfoil(naca4(2, 4, 12, 80), reynolds=1e6, alpha=19.0,
+                            n_panels=128)
+        assert r.mode == "inviscid"
+        assert r.strategy == 3
+        assert r.bl_data is None
+        assert r.coefficients["CD"] == 0.0
+        assert "INVISCID MODE" in r.coefficients["warning"]
