@@ -1,0 +1,125 @@
+"""Parity harness: framework coefficients vs XFOIL ground truth.
+
+Two ground-truth sources, in preference order:
+
+1. A live XFOIL binary (``XFOIL_PATH`` / on PATH) — exact parity runs via
+   ``airfoil_tpu.interop.run_xfoil_if_available``.
+2. A bundled table of published XFOIL polar anchors (airfoiltools-class
+   data, transcribed to ~±5%: treat sub-5% deviations as noise).
+
+Emits ``parity_report.json`` with per-point percentage deviations plus an
+aggregate. The north-star target is CL/CD within 2% of XFOIL
+(BASELINE.md); the report is how progress toward that is tracked.
+
+CLI: python -m airfoil_tpu.bench.parity [--out parity_report.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import tempfile
+
+import numpy as np
+
+__all__ = ["run_parity", "PUBLISHED_ANCHORS"]
+
+# (airfoil, Re, alpha) -> (CL, CD) published XFOIL-class values
+# (approximate transcription, ncrit=9, free transition).
+PUBLISHED_ANCHORS = {
+    ("naca0012", 1e6, 0.0): (0.000, 0.0055),
+    ("naca0012", 1e6, 4.0): (0.440, 0.0064),
+    ("naca0012", 1e6, 8.0): (0.880, 0.0095),
+    ("naca2412", 1e6, 0.0): (0.245, 0.0062),
+    ("naca2412", 1e6, 4.0): (0.677, 0.0067),
+    ("naca2412", 1e6, 8.0): (1.060, 0.0100),
+    ("naca2412", 2e5, 0.0): (0.235, 0.0095),
+    ("naca2412", 2e5, 4.0): (0.660, 0.0110),
+    ("naca4412", 1e6, 0.0): (0.480, 0.0070),
+    ("naca4412", 1e6, 4.0): (0.900, 0.0078),
+}
+
+_DIGITS = {"naca0012": (0, 0, 12), "naca2412": (2, 4, 12),
+           "naca4412": (4, 4, 12)}
+
+
+def _solve(name: str, re_: float, alpha: float):
+    from airfoil_tpu.inviscid import build_operator
+    from airfoil_tpu.models import naca4
+    from airfoil_tpu.paneling import panel_geometry, repanel
+    from airfoil_tpu.viscous import solve_viscous
+
+    xp, yp = repanel(naca4(*_DIGITS[name], 100), 160)
+    op = build_operator(panel_geometry(xp, yp))
+    r = solve_viscous(op, alpha, re_)
+    return float(r.cl), float(r.cd), bool(r.converged)
+
+
+def _xfoil_truth(name: str, re_: float, alpha: float):
+    from airfoil_tpu.interop import run_xfoil_if_available
+    from airfoil_tpu.models import naca4
+
+    with tempfile.TemporaryDirectory() as wd:
+        path = os.path.join(wd, f"{name}.dat")
+        coords = naca4(*_DIGITS[name], 100)
+        with open(path, "w") as f:
+            f.write(f"{name}\n")
+            for x, y in coords:
+                f.write(f" {x:.6f} {y:.6f}\n")
+        out = run_xfoil_if_available(path, re_, alpha, wd)
+    if out is None:
+        return None
+    coeffs = out[0]
+    return coeffs.get("CL"), coeffs.get("CD")
+
+
+def run_parity(use_live_xfoil: bool = True) -> dict:
+    points = []
+    live_used = False
+    for (name, re_, alpha), published in PUBLISHED_ANCHORS.items():
+        truth = _xfoil_truth(name, re_, alpha) if use_live_xfoil else None
+        source = "xfoil_binary" if truth else "published_table"
+        live_used = live_used or truth is not None
+        cl_ref, cd_ref = truth if truth else published
+        cl, cd, converged = _solve(name, re_, alpha)
+        cl_dev = (100 * (cl - cl_ref) / abs(cl_ref)
+                  if abs(cl_ref) > 0.02 else None)
+        cd_dev = 100 * (cd - cd_ref) / cd_ref if cd_ref else None
+        points.append({
+            "airfoil": name, "reynolds": re_, "alpha": alpha,
+            "cl": round(cl, 4), "cl_ref": cl_ref,
+            "cd": round(cd, 5), "cd_ref": cd_ref,
+            "cl_dev_pct": round(cl_dev, 1) if cl_dev is not None else None,
+            "cd_dev_pct": round(cd_dev, 1) if cd_dev is not None else None,
+            "converged": converged, "truth_source": source,
+        })
+    cl_devs = [abs(p["cl_dev_pct"]) for p in points
+               if p["cl_dev_pct"] is not None and p["converged"]]
+    cd_devs = [abs(p["cd_dev_pct"]) for p in points
+               if p["cd_dev_pct"] is not None and p["converged"]]
+    return {
+        "points": points,
+        "median_abs_cl_dev_pct": round(float(np.median(cl_devs)), 1)
+        if cl_devs else None,
+        "median_abs_cd_dev_pct": round(float(np.median(cd_devs)), 1)
+        if cd_devs else None,
+        "converged_fraction": round(
+            np.mean([p["converged"] for p in points]), 2),
+        "ground_truth": "live xfoil" if live_used else
+        "published table (~±5% transcription)",
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="parity_report.json")
+    args = ap.parse_args()
+    report = run_parity()
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,13 @@
+from airfoil_tpu.interop.xfoil import (
+    extract_aerodynamic_coefficients,
+    parse_bl_dump,
+    parse_cp_file,
+    write_xfoil_script,
+)
+
+__all__ = [
+    "extract_aerodynamic_coefficients",
+    "parse_bl_dump",
+    "parse_cp_file",
+    "write_xfoil_script",
+]
