@@ -38,10 +38,21 @@ def rasterize_airfoil(
     alpha_deg: float,
     cfg: LBMConfig = DEFAULT_LBM,
 ) -> np.ndarray:
-    """Rasterize the rotated loop to a (NY, NX) float32 solid mask."""
+    """Rasterize the rotated loop to a (NY, NX) float32 solid mask.
+
+    Uses the native C++ scanline path when the toolchain is available
+    (differential-tested for exact equality); pure NumPy otherwise.
+    """
     coords = np.asarray(coords, np.float64)
     xp, yp = _panelise(_rotate(coords, alpha_deg))
     nx, ny = cfg.nx, cfg.ny
+
+    from airfoil_tpu.native import raster_mask_native
+
+    native = raster_mask_native(xp, yp, nx, ny,
+                                (cfg.dx0, cfg.dx1, cfg.dy0, cfg.dy1))
+    if native is not None:
+        return native
     mask = np.zeros((ny, nx), np.float32)
     n = len(xp)
     for iy in range(ny):

@@ -58,7 +58,6 @@ def sharded_lbm_steps(mesh: Mesh, f, solid, u0, tau, steps: int):
         in_specs=(P(None, axis, None), P(axis, None),
                   P(axis, None), P(axis, None)),
         out_specs=P(None, axis, None),
-        check_rep=False,
     )
     def stepper(f_loc, solid_loc, outlet_loc, edge_loc):
         solid_ext = halo_extend(solid_loc, 0)
