@@ -49,10 +49,13 @@ def _solve(name: str, re_: float, alpha: float):
     from airfoil_tpu.models import naca4
     from airfoil_tpu.paneling import panel_geometry, repanel
     from airfoil_tpu.viscous import solve_viscous
+    from airfoil_tpu.viscous.newton import solve_viscous_newton
 
     xp, yp = repanel(naca4(*_DIGITS[name], 100), 160)
     op = build_operator(panel_geometry(xp, yp))
-    r = solve_viscous(op, alpha, re_)
+    r = solve_viscous_newton(op, alpha, re_)
+    if not bool(r.converged):
+        r = solve_viscous(op, alpha, re_)
     return float(r.cl), float(r.cd), bool(r.converged)
 
 

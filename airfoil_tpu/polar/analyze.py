@@ -21,6 +21,7 @@ from airfoil_tpu.inviscid import build_operator, solve_inviscid
 from airfoil_tpu.paneling import panel_geometry, repanel, smooth_geometry
 from airfoil_tpu.viscous import solve_viscous
 from airfoil_tpu.viscous.coupled import SideBL, ViscousResult
+from airfoil_tpu.viscous.newton import solve_viscous_newton
 
 __all__ = ["AnalysisResult", "analyze_airfoil"]
 
@@ -106,14 +107,25 @@ def analyze_airfoil(
 
     cp_x = [float(v) for v in np.asarray(pan.xm, np.float64)]
 
+    def solve_best(the_op):
+        """Simultaneous-Newton solve first (XFOIL-class accuracy); fall
+        back to the direct under-relaxed iteration when Newton flags a
+        wrong-basin / unconverged solution (robust but ~biased thick)."""
+        res = solve_viscous_newton(the_op, float(alpha), float(reynolds),
+                                   n_crit=n_crit,
+                                   x_forced_transition=x_forced_transition)
+        if bool(res.converged):
+            return res
+        return solve_viscous(the_op, float(alpha), float(reynolds),
+                             n_crit=n_crit,
+                             x_forced_transition=x_forced_transition)
+
     # Strategies 1 and 2: viscous on clean then smoothed geometry.
     for strategy, the_op in ((1, op), (2, None)):
         if strategy == 2:
             xs, ys = smooth_geometry(xp, yp)
             the_op = build_operator(panel_geometry(xs, ys))
-        res = solve_viscous(the_op, float(alpha), float(reynolds),
-                            n_crit=n_crit,
-                            x_forced_transition=x_forced_transition)
+        res = solve_best(the_op)
         if bool(res.converged):
             return AnalysisResult(
                 cp_x=cp_x,

@@ -24,6 +24,7 @@ import jax.numpy as jnp
 
 __all__ = [
     "lam_hstar", "lam_cf", "lam_diss", "amplification_rate",
+    "log10_ret_crit",
     "turb_hstar", "turb_cf", "turb_us", "turb_cteq", "turb_diss",
     "delta_thickness", "HK_LAM_MAX", "HK_TURB_MAX",
 ]
@@ -69,6 +70,14 @@ def lam_diss(hk, ret, hstar):
     return 0.5 * two_cd_ret_over_hstar * hstar / ret
 
 
+def log10_ret_crit(hk):
+    """log10 of the critical Re_theta for envelope amplification onset
+    (Drela 1989 fit)."""
+    hk1 = jnp.maximum(jnp.clip(hk, 1.05, 12.0) - 1.0, 0.1)
+    return ((1.415 / hk1 - 0.489) * jnp.tanh(20.0 / hk1 - 12.9)
+            + 3.295 / hk1 + 0.44)
+
+
 def amplification_rate(hk, theta, ret):
     """e^N envelope amplification dn~/ds (Drela's 1989 fit).
 
@@ -81,8 +90,7 @@ def amplification_rate(hk, theta, ret):
     ret = jnp.maximum(ret, 1.0)
 
     hk1 = jnp.maximum(hk - 1.0, 0.1)
-    log10_retc = ((1.415 / hk1 - 0.489) * jnp.tanh(20.0 / hk1 - 12.9)
-                  + 3.295 / hk1 + 0.44)
+    log10_retc = log10_ret_crit(hk)
     dn_dret = 0.01 * jnp.sqrt(
         (2.4 * hk - 3.7 + 2.5 * jnp.tanh(1.5 * hk - 4.65)) ** 2 + 0.25
     )

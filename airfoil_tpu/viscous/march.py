@@ -246,6 +246,21 @@ def march_side(
         d2 = jnp.where(sep, hk_cap * t2, d2)
         a2 = jnp.where(turb2, jnp.clip(a2, -18.0, -1.0),
                        jnp.clip(a2, 0.0, 30.0))
+        # Laminar amplification is integrated EXPLICITLY from the solved
+        # thickness states: the rate does not depend on n, so the explicit
+        # trapezoid is exact for this equation — and the per-station 3x3
+        # Newton is ill-conditioned near the stagnation point (microscopic
+        # theta) where it otherwise leaks clip-bounded garbage into `a`,
+        # seeding transition ~2x early in Re_x on a flat plate.
+        hk1_est = jnp.clip(d1 / jnp.maximum(t1, 1e-10), 1.02, 12.0)
+        ret1_est = jnp.maximum(ue1 * t1 / nu, 1.0)
+        hk2_est = jnp.clip(d2 / jnp.maximum(t2, 1e-10), 1.02, 12.0)
+        ret2_est = jnp.maximum(ue2 * t2 / nu, 1.0)
+        rate_lam = _avg(cl.amplification_rate(hk1_est, t1, ret1_est),
+                        cl.amplification_rate(hk2_est, t2, ret2_est))
+        ds12 = jnp.maximum(s2 - s1, 1e-8)
+        a2 = jnp.where(turb2, a2,
+                       jnp.clip(a1 + ds12 * rate_lam, 0.0, 30.0))
 
         # Outputs at station 2.
         ctau2 = jnp.exp(jnp.clip(a2, -20.0, 0.0))

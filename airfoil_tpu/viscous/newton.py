@@ -1,0 +1,656 @@
+"""Simultaneous Newton viscous-inviscid coupling.
+
+This is the TPU-native equivalent of the XFOIL binary's VISCAL Newton
+solve that the reference drives through a subprocess (reference
+main.py:362-364 ``VISC``/``ITER 500`` script lines): the integral
+boundary-layer equations on both surfaces and the wake are solved
+*simultaneously* with the edge-velocity interaction law as one nonlinear
+system, instead of the direct under-relaxed fixed-point iteration in
+``coupled.solve_viscous``. The direct iteration stalls in a limit cycle
+with the boundary layer ~25% too thick at the trailing edge (the Goldstein
+singularity makes direct marching only neutrally stable); the simultaneous
+system has no such limitation and is how XFOIL achieves its accuracy.
+
+TPU-first structure: the residual is *elementwise over stations* (no
+sequential march), so one Newton iteration = one vectorised residual, one
+forward-mode Jacobian (a vmapped batch of JVPs), and one dense
+(3N x 3N) linear solve on the MXU. A whole viscous solve is a few dozen
+such iterations, fully vmap-able over (alpha, Re).
+
+Unknowns per station i (upper M + lower M + wake W stations):
+
+    z_i = (ln theta_i,  ln m_i,  ln ctau_i)
+
+with ``m = Ue * dstar`` the mass defect. The station edge velocity is the
+*interaction law*  Ue = Ue_inv + d(Ue)/d(sigma) . sigma(m)  (linear in m
+through the precomputed panel influence operators), which is what removes
+the separation singularity.
+
+Transition is deliberately NOT an unknown of the simultaneous system:
+with the amplification factor inside the Newton unknowns the coupled
+system develops multiple self-consistent branches (early-transition /
+bubble solutions) and the iteration basin-hops. Instead, each outer round
+integrates the e^N envelope equation EXPLICITLY over the current
+converged (theta, Ue) fields — a parallel cumulative sum, unique because
+the amplification equation is parabolic — interpolates the n = n_crit
+crossing, freezes the turbulence blend ramp there, and re-solves. This is
+XFOIL's own sequencing (transition is re-located between, never inside,
+its Newton iterations).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from airfoil_tpu.inviscid.panel_solver import (
+    InviscidOperator,
+    solve_inviscid,
+)
+from airfoil_tpu.viscous import closures as cl
+from airfoil_tpu.viscous.coupled import (
+    SideBL,
+    ViscousResult,
+    _find_stagnation,
+    _forces_from_cp,
+    _side_stations,
+    _sigma_from_sides,
+    _smooth_clip_derivative,
+)
+from airfoil_tpu.viscous.march import march_side
+from airfoil_tpu.viscous.wake import WakeOperator, build_wake_operator
+
+__all__ = ["solve_viscous_newton"]
+
+_AVG_W = 0.65          # implicit interval weighting (0.5 = trapezoid)
+_KLAG = 5.6
+_TR_WIDTH = 0.012      # chordwise half-width of the frozen transition ramp
+
+
+def _avg(f1, f2):
+    return (1.0 - _AVG_W) * f1 + _AVG_W * f2
+
+
+def _station_closures(theta, dstar, ue, nu, ctau, w, wake_mask):
+    """Blended closure set at every station (elementwise).
+
+    ``w``: (N,) turbulence weight in [0, 1]. ``wake_mask``: (N,) 1 where the
+    station is in the wake (no wall: Cf = 0, shear dissipation only).
+    """
+    theta = jnp.maximum(theta, 1e-10)
+    hk = jnp.clip(dstar / theta, 1.005, 12.0)
+    ret = jnp.maximum(ue * theta / nu, 1.0)
+
+    hs_l = cl.lam_hstar(hk)
+    hs_t = cl.turb_hstar(hk, ret)
+    hs = (1.0 - w) * hs_l + w * hs_t
+
+    cf_l = cl.lam_cf(hk, ret)
+    cf_t = cl.turb_cf(hk, ret)
+    cf = (1.0 - w) * cf_l + w * cf_t
+
+    cd_l = cl.lam_diss(hk, ret, hs_l)
+    cd_t = cl.turb_diss(hk, ret, ctau, hs_t)
+    cd = (1.0 - w) * cd_l + w * cd_t
+
+    us = cl.turb_us(hk, hs_t)
+    cd_wake = jnp.clip(ctau, 0.0, 0.3) * (1.0 - us)
+
+    cf = jnp.where(wake_mask > 0, 0.0, cf)
+    cd = jnp.where(wake_mask > 0, cd_wake, cd)
+    return hk, ret, hs, cf, cd
+
+
+class _Grid(NamedTuple):
+    """Frozen station geometry for the Newton solve (upper+lower+wake)."""
+
+    xi_u: jnp.ndarray
+    xi_l: jnp.ndarray
+    xi_w: jnp.ndarray
+    x_u: jnp.ndarray
+    y_u: jnp.ndarray
+    x_l: jnp.ndarray
+    y_l: jnp.ndarray
+    s_q_u: jnp.ndarray     # arc positions of upper stations on the loop
+    s_q_l: jnp.ndarray
+    s0: jnp.ndarray        # frozen stagnation arc position
+    te_gap: jnp.ndarray
+
+
+def _interval_residuals(s, ue, z, nu, w, wake: bool):
+    """Vectorised residuals for all intervals of one strip (M-1, 3).
+
+    ``z``: (M, 3) = (ln theta, ln m, ln ctau) at each station.
+    ``w``: (M,) frozen turbulence blend weights (ones in the wake).
+    Returns per-interval residuals (momentum, kinetic energy, shear lag).
+    """
+    theta = jnp.exp(z[:, 0])
+    m = jnp.exp(z[:, 1])
+    ctau = jnp.exp(jnp.clip(z[:, 2], -20.0, 0.0))
+    dstar = m / jnp.maximum(ue, 0.02)
+
+    if not wake:
+        # Bubble override, live in hk: a laminar layer separating past
+        # Hk ~ HK_LAM_MAX transitions immediately (the separated shear
+        # layer amplifies within a fraction of a percent of chord). The
+        # frozen ramp alone would let the bubble run away and triple theta
+        # through it.
+        hk_live = jnp.clip(dstar / jnp.maximum(theta, 1e-10), 1.005, 12.0)
+        w = jnp.maximum(w, jax.nn.sigmoid(3.0 * (hk_live - cl.HK_LAM_MAX)))
+    wake_mask = jnp.ones_like(theta) if wake else jnp.zeros_like(theta)
+
+    hk, ret, hs, cf, cd = _station_closures(
+        theta, dstar, ue, nu, ctau, w, wake_mask)
+
+    def iv(f):
+        return _avg(f[:-1], f[1:])
+
+    ds = jnp.maximum(s[1:] - s[:-1], 1e-8)
+    due = ue[1:] - ue[:-1]
+    ue_m = iv(ue)
+    t_m = iv(theta)
+    h_m = iv(hk)
+    hs_m = iv(hs)
+    cf_m = iv(cf)
+    cd_m = iv(cd)
+
+    # 1) von Karman momentum integral.
+    r1 = ((theta[1:] - theta[:-1]) / ds
+          + (2.0 + h_m) * (t_m / ue_m) * (due / ds) - 0.5 * cf_m)
+    # 2) kinetic-energy shape-parameter equation.
+    r2 = (t_m * (hs[1:] - hs[:-1]) / ds
+          + hs_m * (1.0 - h_m) * (t_m / ue_m) * (due / ds)
+          - (2.0 * cd_m - hs_m * 0.5 * cf_m))
+
+    # 3) shear-stress transport: the lag ODE downstream of transition,
+    # blending into a relaxation toward the equilibrium of the RESET
+    # (attached turbulent, Hk ~ 1.5) profile upstream — not of the local
+    # laminar profile, whose high Hk would seed transition with a
+    # ~5x-too-large ctau (march.py applies the same classical reset).
+    # Rates are clamped: the physical lag scale 1/(2 delta) is stiff
+    # enough to swamp the linearisation otherwise.
+    hs_t = cl.turb_hstar(hk, ret)
+    cteq = cl.turb_cteq(hk, ret, hs_t)
+    delta = cl.delta_thickness(theta, dstar, hk)
+    lag = _KLAG * (jnp.sqrt(cteq) - jnp.sqrt(ctau)) / (2.0 * delta)
+    lag = jnp.clip(lag, -40.0, 40.0)
+    hk_eq = jnp.clip(hk, 1.005, 1.55)
+    hs_eq = cl.turb_hstar(hk_eq, ret)
+    cteq_eq = cl.turb_cteq(hk_eq, ret, hs_eq)
+    a_eq = jnp.log(jnp.clip(0.7 * cteq_eq, 1e-8, 0.3))
+    relax = jnp.clip(8.0 * (a_eq - z[:, 2]), -40.0, 40.0)
+    w2 = w[1:]
+    rate3 = w2 * iv(lag) + (1.0 - w2) * relax[1:]
+    r3 = (z[1:, 2] - z[:-1, 2]) / ds - rate3
+
+    # Scale to O(1): thickness equations by ds/theta, the lag ODE by ds.
+    sc = ds / jnp.maximum(t_m, 1e-10)
+    return jnp.stack([r1 * sc, r2 * sc, r3 * ds], axis=1)
+
+
+def _pack(zu, zl, zw):
+    return jnp.concatenate([zu.ravel(), zl.ravel(), zw.ravel()])
+
+
+def _unpack(zz, m_s, n_w):
+    zu = zz[: 3 * m_s].reshape(m_s, 3)
+    zl = zz[3 * m_s: 6 * m_s].reshape(m_s, 3)
+    zw = zz[6 * m_s:].reshape(n_w, 3)
+    return zu, zl, zw
+
+
+def _soft_floor(x, lo, beta=60.0):
+    """Smooth max(x, lo): keeps d/dx > 0 everywhere so Newton can push a
+    pinned edge velocity back off the floor (a hard max zeroes the Jacobian
+    column and strands the iteration)."""
+    return lo + jax.nn.softplus(beta * (x - lo)) / beta
+
+
+def _ue_from_m(op, wop, grid, vt0, m_u, m_l, m_w):
+    """Interaction law: station edge velocities as a function of the mass
+    defects (linear through the precomputed influence operators)."""
+    pan = op.pan
+    sigma_b = _sigma_from_sides(pan, grid.s0, grid.xi_u, m_u, grid.xi_l, m_l)
+    sigma_w = _smooth_clip_derivative(wop.xi, m_w)
+    vt = vt0 + op.due_dsigma @ sigma_b + wop.dvt_dsigw @ sigma_w
+    s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
+    s_in = s_mid[1:-1]
+    vt_in = vt[1:-1]
+    ue_u = _soft_floor(-jnp.interp(grid.s_q_u, s_in, vt_in), 0.02)
+    ue_l = _soft_floor(jnp.interp(grid.s_q_l, s_in, vt_in), 0.02)
+    ue_w = _soft_floor(wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w, 0.05)
+    return ue_u, ue_l, ue_w, vt, sigma_b, sigma_w
+
+
+def _residual(zz, w_u, w_l, op, wop, grid, vt0, nu, m_s, n_w):
+    """Full system residual, (3 * (2 m_s + n_w),)."""
+    zu, zl, zw = _unpack(zz, m_s, n_w)
+    m_u = jnp.exp(zu[:, 1])
+    m_l = jnp.exp(zl[:, 1])
+    m_w = jnp.exp(zw[:, 1])
+    ue_u, ue_l, ue_w, _vt, _sb, _sw = _ue_from_m(
+        op, wop, grid, vt0, m_u, m_l, m_w)
+
+    ones_w = jnp.ones_like(grid.xi_w)
+    ru = _interval_residuals(grid.xi_u, ue_u, zu, nu, w_u, wake=False)
+    rl = _interval_residuals(grid.xi_l, ue_l, zl, nu, w_l, wake=False)
+    rw = _interval_residuals(grid.xi_w, ue_w, zw, nu, ones_w, wake=True)
+
+    # Initial conditions: Falkner-Skan stagnation similarity at station 0
+    # of each surface (Hiemenz theta, Hk = 2.24) and the laminar ctau pin.
+    def side_ic(z0, xi0, ue0):
+        k = jnp.maximum(ue0 / jnp.maximum(xi0, 1e-8), 1e-6)
+        ln_t0 = 0.5 * jnp.log(0.075 * nu / k)
+        theta0 = jnp.exp(z0[0])
+        hk0 = jnp.exp(z0[1]) / jnp.maximum(ue0, 0.02) / theta0
+        ret0 = jnp.maximum(ue0 * theta0 / nu, 1.0)
+        hk_eq = jnp.clip(hk0, 1.005, 1.55)
+        hs0 = cl.turb_hstar(hk_eq, ret0)
+        cteq0 = cl.turb_cteq(hk_eq, ret0, hs0)
+        return jnp.stack([
+            z0[0] - ln_t0,
+            hk0 - 2.24,
+            z0[2] - jnp.log(jnp.clip(0.7 * cteq0, 1e-8, 0.3)),
+        ])
+
+    ric_u = side_ic(zu[0], grid.xi_u[0], ue_u[0])
+    ric_l = side_ic(zl[0], grid.xi_l[0], ue_l[0])
+
+    # Wake initial conditions: thicknesses merge at the trailing edge; the
+    # shear coefficient carries over theta-weighted.
+    t_te_u = jnp.exp(zu[-1, 0])
+    t_te_l = jnp.exp(zl[-1, 0])
+    d_te_u = jnp.exp(zu[-1, 1]) / ue_u[-1]
+    d_te_l = jnp.exp(zl[-1, 1]) / ue_l[-1]
+    ct_u = jnp.exp(jnp.clip(zu[-1, 2], -20.0, 0.0))
+    ct_l = jnp.exp(jnp.clip(zl[-1, 2], -20.0, 0.0))
+    t_w0 = jnp.exp(zw[0, 0])
+    d_w0 = jnp.exp(zw[0, 1]) / ue_w[0]
+    ct_mix = ((ct_u * t_te_u + ct_l * t_te_l)
+              / jnp.maximum(t_te_u + t_te_l, 1e-10))
+    ric_w = jnp.stack([
+        (t_w0 - (t_te_u + t_te_l)) / jnp.maximum(t_te_u + t_te_l, 1e-10),
+        (d_w0 - (d_te_u + d_te_l + grid.te_gap))
+        / jnp.maximum(d_te_u + d_te_l + grid.te_gap, 1e-10),
+        zw[0, 2] - jnp.log(jnp.clip(ct_mix, 1e-8, 0.3)),
+    ])
+
+    return jnp.concatenate([
+        ric_u, ru.ravel(), ric_l, rl.ravel(), ric_w, rw.ravel()])
+
+
+def _amplification_crossing(xi, x, theta, dstar, ue, nu, n_crit, x_trip,
+                            dtype):
+    """Explicit e^N integration over the current fields -> transition x.
+
+    A parallel cumulative sum (the amplification equation is parabolic and
+    its rate does not depend on n), so the crossing is unique and cheap.
+    Returns the interpolated n = n_crit crossing (2.0 if none before TE),
+    already min'ed with the forced-trip location.
+    """
+    theta = jnp.maximum(theta, 1e-10)
+    hk = jnp.clip(dstar / theta, 1.005, 12.0)
+    ret = jnp.maximum(ue * theta / nu, 1.0)
+    rate = cl.amplification_rate(hk, theta, ret)
+    ds = jnp.maximum(xi[1:] - xi[:-1], 1e-8)
+    n_cum = jnp.concatenate([
+        jnp.zeros((1,), dtype),
+        jnp.cumsum(0.5 * (rate[1:] + rate[:-1]) * ds),
+    ])
+    crossed = jnp.logical_and(n_cum[:-1] < n_crit, n_cum[1:] >= n_crit)
+    frac = jnp.where(
+        crossed,
+        (n_crit - n_cum[:-1]) / jnp.maximum(n_cum[1:] - n_cum[:-1], 1e-6),
+        0.0)
+    xc = x[:-1] + frac * (x[1:] - x[:-1])
+    any_c = jnp.any(crossed)
+    idx = jnp.argmax(crossed)
+    x_free = jnp.where(any_c, xc[idx], jnp.asarray(2.0, dtype))
+    if isinstance(x_trip, (int, float)) and x_trip >= 1.0:
+        return x_free, n_cum  # no forced trip: 2.0 = laminar to the TE
+    return jnp.minimum(x_free, jnp.asarray(x_trip, dtype)), n_cum
+
+
+def _w_ramp(x, xtr):
+    return jax.nn.sigmoid((x - xtr) / _TR_WIDTH)
+
+
+def _warm_start(op, wop, grid, vt0, nu, n_crit, x_trip, m_s, n_w,
+                warm_iters: int):
+    """Direct under-relaxed iterations to produce the Newton initial state.
+
+    Mirrors the fixed-point loop of ``coupled.solve_viscous`` but keeps the
+    raw BLState arrays so every Newton unknown can be initialised.
+    """
+    pan = op.pan
+
+    march_pair = jax.vmap(
+        lambda s, ue, x: march_side(s, ue, x, nu, n_crit, x_trip))
+
+    def one(sigma_b, sigma_w):
+        vt = vt0 + op.due_dsigma @ sigma_b + wop.dvt_dsigw @ sigma_w
+        s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
+        ue_u = jnp.maximum(-jnp.interp(grid.s_q_u, s_mid[1:-1], vt[1:-1]),
+                           0.02)
+        ue_l = jnp.maximum(jnp.interp(grid.s_q_l, s_mid[1:-1], vt[1:-1]),
+                           0.02)
+        bl2 = march_pair(jnp.stack([grid.xi_u, grid.xi_l]),
+                         jnp.stack([ue_u, ue_l]),
+                         jnp.stack([grid.x_u, grid.x_l]))
+        bl_u = jax.tree.map(lambda a: a[0], bl2)
+        bl_l = jax.tree.map(lambda a: a[1], bl2)
+        ue_w = jnp.maximum(wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w,
+                           0.05)
+        return bl_u, bl_l, ue_u, ue_l, ue_w
+
+    def body(carry, _):
+        sigma_b, sigma_w = carry
+        bl_u, bl_l, ue_u, ue_l, ue_w = one(sigma_b, sigma_w)
+        sb = _sigma_from_sides(pan, grid.s0, grid.xi_u, ue_u * bl_u.dstar,
+                               grid.xi_l, ue_l * bl_l.dstar)
+        th0 = bl_u.theta[-1] + bl_l.theta[-1]
+        ds0 = bl_u.dstar[-1] + bl_l.dstar[-1] + grid.te_gap
+        hk_w = 1.0 + (ds0 / jnp.maximum(th0, 1e-10) - 1.0) * jnp.exp(
+            -grid.xi_w / 0.35)
+        ds_w = hk_w * th0
+        sw = _smooth_clip_derivative(wop.xi, ue_w * ds_w)
+        sb = jnp.where(jnp.isfinite(sb), sb, sigma_b)
+        sw = jnp.where(jnp.isfinite(sw), sw, sigma_w)
+        return (sigma_b + 0.35 * (sb - sigma_b),
+                sigma_w + 0.35 * (sw - sigma_w)), None
+
+    n = pan.xm.shape[0]
+    dtype = pan.xm.dtype
+    init = (jnp.zeros((n,), dtype), jnp.zeros((n_w,), dtype))
+    (sigma_b, sigma_w), _ = jax.lax.scan(body, init, None, length=warm_iters)
+
+    bl_u, bl_l, ue_u, ue_l, ue_w = one(sigma_b, sigma_w)
+
+    def side_init(bl, ue):
+        theta = jnp.maximum(bl.theta, 1e-9)
+        m = jnp.maximum(ue * bl.dstar, 1e-9)
+        ct = jnp.where(jnp.isnan(bl.ctau), 1e-4, bl.ctau)
+        return jnp.stack([jnp.log(theta), jnp.log(m),
+                          jnp.log(jnp.clip(ct, 1e-8, 0.3))], axis=1)
+
+    zu = side_init(bl_u, ue_u)
+    zl = side_init(bl_l, ue_l)
+
+    th0 = bl_u.theta[-1] + bl_l.theta[-1]
+    ds0 = bl_u.dstar[-1] + bl_l.dstar[-1] + grid.te_gap
+    hk_w = 1.0 + (ds0 / jnp.maximum(th0, 1e-10) - 1.0) * jnp.exp(
+        -grid.xi_w / 0.35)
+    t_w = jnp.full_like(grid.xi_w, 1.0) * th0
+    m_wk = jnp.maximum(ue_w * hk_w * th0, 1e-9)
+    ct_w = jnp.full_like(grid.xi_w, 2e-3)
+    zw = jnp.stack([jnp.log(jnp.maximum(t_w, 1e-9)), jnp.log(m_wk),
+                    jnp.log(ct_w)], axis=1)
+
+    def march_front(bl, x):
+        # The march's own transition point; its 'no transition' sentinel is
+        # the TE x-value -> map to 2.0 (fully laminar).
+        return jnp.where(bl.x_transition < x[-1] - 1e-6,
+                         bl.x_transition, jnp.asarray(2.0, x.dtype))
+
+    return (_pack(zu, zl, zw), march_front(bl_u, grid.x_u),
+            march_front(bl_l, grid.x_l))
+
+
+@partial(jax.jit, static_argnames=("n_stations", "n_wake", "warm_iters",
+                                   "newton_iters", "outer_rounds"))
+def solve_viscous_newton(
+    op: InviscidOperator,
+    alpha_deg,
+    reynolds,
+    n_crit: float = 9.0,
+    x_forced_transition: float = 1.0,
+    n_stations: int = 96,
+    n_wake: int = 20,
+    warm_iters: int = 8,
+    newton_iters: int = 12,
+    outer_rounds: int = 3,
+) -> ViscousResult:
+    """Coupled viscous solve at one (alpha, Re) by simultaneous Newton with
+    outer transition re-location. Same result contract as
+    ``coupled.solve_viscous``; vmap over alpha/Re.
+    """
+    # The LM path's basin selection is sensitive to matmul rounding; on
+    # TPU the default matmul precision (bf16 passes) diverges from CPU f32
+    # and can land a different solution branch. Pin every dot in the solve
+    # to full f32.
+    with jax.default_matmul_precision("highest"):
+        return _solve_viscous_newton_impl(
+            op, alpha_deg, reynolds, n_crit, x_forced_transition,
+            n_stations, n_wake, warm_iters, newton_iters, outer_rounds)
+
+
+def _solve_viscous_newton_impl(
+    op: InviscidOperator,
+    alpha_deg,
+    reynolds,
+    n_crit,
+    x_forced_transition,
+    n_stations,
+    n_wake,
+    warm_iters,
+    newton_iters,
+    outer_rounds,
+) -> ViscousResult:
+    pan = op.pan
+    nu = 1.0 / reynolds
+    dtype = pan.xm.dtype
+    m_s = n_stations
+    n_w = n_wake
+
+    sol0 = solve_inviscid(op, alpha_deg)
+    vt0 = sol0.vt
+    wop: WakeOperator = build_wake_operator(op, alpha_deg, n_wake=n_w)
+    te_gap = jnp.hypot(pan.xp[0] - pan.xp[-1], pan.yp[0] - pan.yp[-1])
+    s_le = pan.s[jnp.argmin(pan.xp)]
+    s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
+
+    # Freeze the station grid at the inviscid stagnation point (XFOIL
+    # likewise freezes the surface split across its Newton iterations).
+    s0 = _find_stagnation(s_mid, vt0, s_le)
+    xi_u, s_q_u, _ue, x_u, y_u = _side_stations(pan, vt0, s0, True, m_s)
+    xi_l, s_q_l, _ue, x_l, y_l = _side_stations(pan, vt0, s0, False, m_s)
+    grid = _Grid(xi_u=xi_u, xi_l=xi_l, xi_w=wop.xi, x_u=x_u, y_u=y_u,
+                 x_l=x_l, y_l=y_l, s_q_u=s_q_u, s_q_l=s_q_l, s0=s0,
+                 te_gap=te_gap)
+
+    zz0, xtr_u_march, xtr_l_march = _warm_start(
+        op, wop, grid, vt0, nu, n_crit, x_forced_transition, m_s, n_w,
+        warm_iters)
+
+    def make_res(w_u, w_l):
+        return partial(_residual, w_u=w_u, w_l=w_l, op=op, wop=wop,
+                       grid=grid, vt0=vt0, nu=nu, m_s=m_s, n_w=n_w)
+
+    def _rms(r):
+        r = jnp.where(jnp.isfinite(r), r, 1e6)
+        return jnp.sqrt(jnp.mean(r * r))
+
+    # Levenberg-Marquardt with adaptive damping. Plain Newton + line search
+    # deadlocks on this system (locally-non-smooth spots at the transition
+    # station mislead the linearisation); LM's gradient-interpolated steps
+    # walk through them. Each iteration solves a small batch of candidate
+    # dampings at once (batched dense solves are near-free on the MXU) and
+    # keeps the best descent.
+    _LAM_FACTORS = jnp.asarray([0.33, 1.0, 8.0, 64.0], dtype)
+    # Per-variable-type step limits: tight on the thickness log-variables
+    # (whose runaway flips the solve into an unphysical basin), loose on
+    # ln ctau (which legitimately moves O(1) as the front settles).
+    _STEP_CLIP = jnp.tile(jnp.asarray([0.25, 0.25, 1.0], dtype),
+                          2 * m_s + n_w)
+
+    def run_lm(res, zz, lam, iters):
+        def lm_step(carry, _):
+            zz, lam = carry
+            r = res(zz)
+            rms_here = _rms(r)
+            jac = jax.jacfwd(res)(zz)
+            jtj = jac.T @ jac
+            jtr = jac.T @ r
+            diag = jnp.maximum(jnp.diag(jtj), 1e-8)
+
+            def candidate(factor):
+                dz = jnp.linalg.solve(jtj + jnp.diag(lam * factor * diag),
+                                      -jtr)
+                dz = jnp.clip(dz, -_STEP_CLIP, _STEP_CLIP)
+                dz = jnp.where(jnp.all(jnp.isfinite(dz)), dz,
+                               jnp.zeros_like(dz))
+                return dz, _rms(res(zz + dz))
+
+            dzs, rmss = jax.vmap(candidate)(_LAM_FACTORS)
+            best = jnp.argmin(rmss)
+            accept = rmss[best] < rms_here
+            zz = jnp.where(accept, zz + dzs[best], zz)
+            lam = jnp.clip(jnp.where(accept, lam * _LAM_FACTORS[best] / 3.0,
+                                     lam * 64.0), 1e-7, 1e6)
+            return (zz, lam), rms_here
+
+        (zz, lam), _ = jax.lax.scan(lm_step, (zz, lam), None, length=iters)
+        return zz, lam
+
+    def _front_update(xi, x, theta, dstar, ue, xtr_prev):
+        """One outer update of a transition front.
+
+        The explicit n-integration is only valid over the laminar region
+        (upstream of the current front — downstream the converged fields
+        are turbulent and the envelope rate reads ~0 there). Three cases:
+        n crosses n_crit upstream of the front -> move there; n at the
+        front is short of n_crit -> advance the front by the deficit over
+        the local laminar rate; no front yet and no crossing -> stays
+        laminar to the TE.
+        """
+        xtr_cand, n_cum = _amplification_crossing(
+            xi, x, theta, dstar, ue, nu, n_crit, x_forced_transition,
+            dtype)
+        theta_c = jnp.maximum(theta, 1e-10)
+        hk = jnp.clip(dstar / theta_c, 1.005, 12.0)
+        ret = jnp.maximum(ue * theta_c / nu, 1.0)
+        rate = cl.amplification_rate(hk, theta_c, ret)
+        # n and laminar rate at (just upstream of) the current front.
+        n_at = jnp.interp(jnp.minimum(xtr_prev, x[-1]), x, n_cum)
+        pre = x < (xtr_prev - _TR_WIDTH)
+        rate_at = jnp.max(jnp.where(pre, rate, 0.0))
+        advance = (n_crit - n_at) / jnp.maximum(rate_at, 1.0)
+        crossed_before = xtr_cand <= xtr_prev
+        xtr_new = jnp.where(
+            crossed_before, xtr_cand,
+            jnp.minimum(xtr_prev + advance, jnp.asarray(2.0, dtype)))
+        # Damped update; forced trip always wins.
+        xtr_new = 0.5 * (xtr_prev + xtr_new)
+        if (isinstance(x_forced_transition, (int, float))
+                and x_forced_transition >= 1.0):
+            return xtr_new
+        return jnp.minimum(xtr_new,
+                           jnp.asarray(x_forced_transition, dtype))
+
+    def fronts_from(zz, xtr_u_prev, xtr_l_prev):
+        zu, zl, _zw = _unpack(zz, m_s, n_w)
+        m_u = jnp.exp(zu[:, 1])
+        m_l = jnp.exp(zl[:, 1])
+        m_w = jnp.exp(_zw[:, 1])
+        ue_u, ue_l, _uw, _vt, _sb, _sw = _ue_from_m(
+            op, wop, grid, vt0, m_u, m_l, m_w)
+        xtr_u = _front_update(grid.xi_u, grid.x_u, jnp.exp(zu[:, 0]),
+                              m_u / ue_u, ue_u, xtr_u_prev)
+        xtr_l = _front_update(grid.xi_l, grid.x_l, jnp.exp(zl[:, 0]),
+                              m_l / ue_l, ue_l, xtr_l_prev)
+        return jax.lax.stop_gradient(xtr_u), jax.lax.stop_gradient(xtr_l)
+
+    # Outer rounds: freeze the transition ramp, converge the simultaneous
+    # system, re-locate the front from the converged fields, repeat. The
+    # initial fronts come from the warm-start march itself (undamped).
+    # Initial fronts come from the warm-start march itself — the march is
+    # the transition authority (its trigger integrates the same envelope
+    # equation along the way).
+    zz, lam = zz0, jnp.asarray(1e-3, dtype)
+    xtr_u, xtr_l = xtr_u_march, xtr_l_march
+    for _ in range(outer_rounds):
+        w_u = _w_ramp(grid.x_u, xtr_u)
+        w_l = _w_ramp(grid.x_l, xtr_l)
+        zz, lam = run_lm(make_res(w_u, w_l), zz,
+                         jnp.maximum(lam, 1e-4), newton_iters)
+        xtr_u, xtr_l = fronts_from(zz, xtr_u, xtr_l)
+
+    w_u = _w_ramp(grid.x_u, xtr_u)
+    w_l = _w_ramp(grid.x_l, xtr_l)
+    rms = _rms(make_res(w_u, w_l)(zz))
+
+    # ── extract the solution ────────────────────────────────────────────
+    zu, zl, zw = _unpack(zz, m_s, n_w)
+    m_u = jnp.exp(zu[:, 1])
+    m_l = jnp.exp(zl[:, 1])
+    m_w = jnp.exp(zw[:, 1])
+    ue_u, ue_l, ue_w, vt, sigma_b, sigma_w = _ue_from_m(
+        op, wop, grid, vt0, m_u, m_l, m_w)
+
+    cp = 1.0 - vt * vt
+    cl_c, cm, _cdp_raw = _forces_from_cp(pan, cp, alpha_deg)
+
+    # Squire-Young extrapolation from the wake end.
+    th_w_end = jnp.exp(zw[-1, 0])
+    d_w_end = m_w[-1] / ue_w[-1]
+    h_end = jnp.clip(d_w_end / jnp.maximum(th_w_end, 1e-10), 1.0, 2.5)
+    ue_end = jnp.clip(ue_w[-1], 0.2, 1.5)
+    cd = 2.0 * th_w_end * ue_end ** (0.5 * (h_end + 5.0))
+
+    def side_out(z, ue, xi, x, y, w, xtr):
+        theta = jnp.exp(z[:, 0])
+        dstar = jnp.exp(z[:, 1]) / ue
+        hk = jnp.clip(dstar / jnp.maximum(theta, 1e-10), 1.005, 12.0)
+        ret = jnp.maximum(ue * theta / nu, 1.0)
+        cf_l = cl.lam_cf(hk, ret)
+        cf_t = cl.turb_cf(hk, ret)
+        cf = (1.0 - w) * cf_l + w * cf_t
+        turb = w > 0.5
+        sep = hk > jnp.where(turb, cl.HK_TURB_MAX, cl.HK_LAM_MAX)
+        side = SideBL(x=x, y=y, s=xi, ue=ue, theta=theta, dstar=dstar,
+                      hk=hk, cf=cf, turb=turb,
+                      x_transition=jnp.clip(jnp.minimum(xtr, x[-1]),
+                                            0.0, 1.0))
+        return side, cf, sep
+
+    upper, cf_u, sep_u = side_out(zu, ue_u, grid.xi_u, grid.x_u, grid.y_u,
+                                  w_u, xtr_u)
+    lower, cf_l_arr, sep_l = side_out(zl, ue_l, grid.xi_l, grid.x_l,
+                                      grid.y_l, w_l, xtr_l)
+
+    def friction_drag(cf, ue, x):
+        integrand = cf * ue**2
+        return jnp.sum(
+            0.5 * (integrand[1:] + integrand[:-1]) * jnp.abs(jnp.diff(x)))
+
+    cdf = friction_drag(cf_u, ue_u, grid.x_u) + friction_drag(
+        cf_l_arr, ue_l, grid.x_l)
+    cdp = cd - cdf
+
+    sep_fraction = 0.5 * (jnp.mean(sep_u.astype(dtype))
+                          + jnp.mean(sep_l.astype(dtype)))
+
+    # Physical sanity joins the rms test in the convergence verdict: a
+    # viscous CL beyond the inviscid one, a huge lift deficit, or a CD
+    # outside the laminar...post-stall envelope for this Reynolds number
+    # marks a wrong-basin solution even when the residual is small.
+    cl_inv = sol0.cl
+    cl_sane = jnp.abs(cl_c - cl_inv) < jnp.maximum(
+        0.35 * jnp.abs(cl_inv), 0.15)
+    cd_lo = 1.0 / jnp.sqrt(reynolds)          # ~0.4x fully-laminar plate
+    cd_hi = 0.25 * reynolds ** -0.2           # ~2x fully-turbulent plate
+    cd_sane = jnp.logical_and(cd > cd_lo, cd < cd_hi)
+    finite = (jnp.all(jnp.isfinite(zz)) & jnp.isfinite(cl_c)
+              & jnp.isfinite(cd))
+    converged = (finite & (rms < 0.01) & (sep_fraction < 0.25)
+                 & cl_sane & cd_sane)
+
+    return ViscousResult(
+        cl=cl_c, cd=cd, cdp=cdp, cm=cm, cp=cp,
+        upper=upper, lower=lower,
+        converged=converged, sep_fraction=sep_fraction,
+        sigma=sigma_b, sigma_wake=sigma_w,
+    )

@@ -1,0 +1,83 @@
+"""Simultaneous-Newton coupling tests: anchors, symmetry, honesty flags.
+
+Anchor values are published XFOIL-class polars (airfoiltools-class data,
+ncrit=9, free transition) transcribed to ~±5%; the Newton solve is the
+framework's accuracy path (reference AeroLab gets these numbers by shelling
+out to the XFOIL binary, main.py:392-399).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airfoil_tpu.inviscid import build_operator
+from airfoil_tpu.models import naca4
+from airfoil_tpu.paneling import panel_geometry, repanel
+from airfoil_tpu.viscous.newton import solve_viscous_newton
+
+
+@pytest.fixture(scope="module")
+def op2412():
+    xp, yp = repanel(naca4(2, 4, 12, 100), 160)
+    return build_operator(panel_geometry(xp, yp))
+
+
+@pytest.fixture(scope="module")
+def op0012():
+    xp, yp = repanel(naca4(0, 0, 12, 100), 160)
+    return build_operator(panel_geometry(xp, yp))
+
+
+class TestAnchors:
+    def test_naca2412_re1e6_alpha0(self, op2412):
+        r = solve_viscous_newton(op2412, 0.0, 1e6)
+        assert bool(r.converged)
+        # XFOIL: CL 0.245, CD 0.0062
+        assert abs(float(r.cl) - 0.245) < 0.05
+        assert 0.0050 < float(r.cd) < 0.0082
+        assert 0.5 < float(r.upper.x_transition) < 0.75
+
+    def test_naca2412_re1e6_alpha4(self, op2412):
+        r = solve_viscous_newton(op2412, 4.0, 1e6)
+        assert bool(r.converged)
+        # XFOIL: CL 0.677, CD 0.0067
+        assert abs(float(r.cl) - 0.677) < 0.06
+        assert 0.0055 < float(r.cd) < 0.0090
+        assert 0.25 < float(r.upper.x_transition) < 0.55
+
+    def test_naca0012_symmetric(self, op0012):
+        r = solve_viscous_newton(op0012, 0.0, 1e6)
+        # Symmetric section at alpha=0: CL ~ 0, Cm ~ 0.
+        assert abs(float(r.cl)) < 0.01
+        assert abs(float(r.cm)) < 0.005
+
+
+class TestHonestyFlags:
+    def test_unconverged_is_flagged_not_silently_wrong(self, op2412):
+        """Deep-stall-ish point: either converge to a sane CL or say so."""
+        r = solve_viscous_newton(op2412, 8.0, 1e6)
+        cl = float(r.cl)
+        if bool(r.converged):
+            # viscous CL must not exceed the inviscid bound (~1.45)
+            assert cl < 1.5
+        else:
+            assert True  # flagged: the strategy ladder handles it
+
+    def test_finite_everything(self, op2412):
+        r = solve_viscous_newton(op2412, 2.0, 5e5)
+        for leaf in (r.cl, r.cd, r.cm, r.cp):
+            assert bool(jnp.all(jnp.isfinite(leaf)))
+
+
+class TestBatching:
+    def test_vmap_over_alpha(self, op2412):
+        import jax
+
+        alphas = jnp.asarray([0.0, 2.0, 4.0], jnp.float32)
+        res = jax.vmap(
+            lambda a: solve_viscous_newton(op2412, a, 1e6, n_stations=64)
+        )(alphas)
+        cl = np.asarray(res.cl)
+        assert cl.shape == (3,)
+        # CL increases monotonically over the linear range.
+        assert cl[0] < cl[1] < cl[2]
