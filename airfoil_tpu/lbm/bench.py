@@ -21,8 +21,14 @@ from airfoil_tpu.lbm.masks import rasterize_airfoil
 __all__ = ["bench_mlups"]
 
 
-def bench_mlups(nx: int = 384, ny: int = 192, steps_per_call: int = 32,
+def bench_mlups(nx: int = 640, ny: int = 384, steps_per_call: int = 64,
                 n_calls: int = 8, use_pallas: bool | None = None) -> dict:
+    """Peak-throughput configuration: the largest lattice whose two
+    (9, NY, NX) f32 buffers stay VMEM-resident (~8.8 MB each) with enough
+    fused steps per dispatch to amortise the launch latency. The
+    interactive wind-tunnel grid (384x192, LBMConfig default) runs the
+    same kernel at lower MLUPS because each frame is latency- not
+    throughput-bound."""
     from airfoil_tpu.models import naca4
 
     cfg = LBMConfig(nx=nx, ny=ny)

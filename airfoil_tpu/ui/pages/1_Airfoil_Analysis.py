@@ -122,14 +122,35 @@ else:
     files = [one] if one else []
 
 
-def geometry_figure(coords, name):
+def geometry_figure(coords, name, bl_data=None):
     c = np.asarray(coords)
     fig = go.Figure(go.Scatter(x=c[:, 0], y=c[:, 1], mode="lines",
                                fill="toself", name=name))
+    if bl_data:
+        try:
+            from airfoil_tpu.ui.flowviz import build_bl_overlay
+
+            for tr in build_bl_overlay(c, bl_data):
+                fig.add_trace(tr)
+        except Exception:
+            pass  # overlay is cosmetic; never block the geometry plot
     fig.update_yaxes(scaleanchor="x", scaleratio=1)
     fig.update_layout(height=260, margin=dict(l=10, r=10, t=30, b=10),
                       title=f"Geometry — {name} ({len(c)} points)")
     return fig
+
+
+@st.cache_data(ttl=3600, max_entries=20, show_spinner=False)
+def flow_visuals(coords_tuple, alpha: float):
+    """Heatmap PNG + particle animation from the library's own panel
+    solution (reference computes these frontend-side too,
+    Airfoil_Analysis.py:45-216,219-503)."""
+    from airfoil_tpu.inviscid.flowfield import compute_flow_field
+    from airfoil_tpu.ui.flowviz import build_flow_animation, \
+        render_heatmap_png
+
+    field = compute_flow_field(np.asarray(coords_tuple), alpha)
+    return render_heatmap_png(field), build_flow_animation(field)
 
 
 def cp_figure(cp_x, cp_values):
@@ -235,12 +256,26 @@ if mode == "Single point" and files:
             parser_fixes_box(res.get("parser_fixes"))
             c1, c2 = st.columns(2)
             with c1:
-                st.plotly_chart(geometry_figure(res["coords_after"], f.name),
-                                use_container_width=True)
+                st.plotly_chart(
+                    geometry_figure(res["coords_after"], f.name,
+                                    res.get("bl_data")),
+                    use_container_width=True)
             with c2:
                 st.plotly_chart(cp_figure(res["cp_x"], res["cp_values"]),
                                 use_container_width=True)
             bl_section(res.get("bl_data"))
+            st.subheader("🌊 Flow field")
+            try:
+                png_b64, anim = flow_visuals(
+                    tuple(map(tuple, res["coords_after"])), alpha)
+                v1, v2 = st.columns(2)
+                with v1:
+                    st.image(io.BytesIO(__import__("base64").b64decode(
+                        png_b64)), caption="Speed heatmap + streamlines")
+                with v2:
+                    st.plotly_chart(anim, use_container_width=True)
+            except Exception as e:
+                st.info(f"Flow visualisation unavailable: {e}")
             st.subheader("🌬️ Interactive wind tunnel")
             lbm_embed(data, f.name, alpha)
 

@@ -132,14 +132,6 @@ def _interval_residuals(s, ue, z, nu, w, wake: bool):
     ctau = jnp.exp(jnp.clip(z[:, 2], -20.0, 0.0))
     dstar = m / jnp.maximum(ue, 0.02)
 
-    if not wake:
-        # Bubble override, live in hk: a laminar layer separating past
-        # Hk ~ HK_LAM_MAX transitions immediately (the separated shear
-        # layer amplifies within a fraction of a percent of chord). The
-        # frozen ramp alone would let the bubble run away and triple theta
-        # through it.
-        hk_live = jnp.clip(dstar / jnp.maximum(theta, 1e-10), 1.005, 12.0)
-        w = jnp.maximum(w, jax.nn.sigmoid(3.0 * (hk_live - cl.HK_LAM_MAX)))
     wake_mask = jnp.ones_like(theta) if wake else jnp.zeros_like(theta)
 
     hk, ret, hs, cf, cd = _station_closures(
@@ -563,6 +555,34 @@ def _solve_viscous_newton_impl(
                               m_l / ue_l, ue_l, xtr_l_prev)
         return jax.lax.stop_gradient(xtr_u), jax.lax.stop_gradient(xtr_l)
 
+    def frozen_weights(zz, xtr_u, xtr_l):
+        """Per-round turbulence weights: the transition ramp plus the
+        bubble override — a laminar layer separating past Hk ~ HK_LAM_MAX
+        transitions immediately (the separated shear layer amplifies
+        within a fraction of a percent of chord). Both parts are FROZEN
+        from the round-start state: any live w(state) coupling inside the
+        residual bistabilizes the system (bubble <-> no-bubble branches)
+        and f32 rounding then picks the basin."""
+        zu, zl, zw_ = _unpack(zz, m_s, n_w)
+        m_u = jnp.exp(zu[:, 1])
+        m_l = jnp.exp(zl[:, 1])
+        ue_u, ue_l, _uw, _vt, _sb, _sw = _ue_from_m(
+            op, wop, grid, vt0, m_u, m_l, jnp.exp(zw_[:, 1]))
+
+        def one(z, ue, x, xtr):
+            hk = jnp.clip((jnp.exp(z[:, 1]) / ue)
+                          / jnp.maximum(jnp.exp(z[:, 0]), 1e-10),
+                          1.005, 12.0)
+            w = jnp.maximum(_w_ramp(x, xtr),
+                            jax.nn.sigmoid(3.0 * (hk - cl.HK_LAM_MAX)))
+            # Turbulence is irreversible along the strip: once the ramp or
+            # the bubble trigger fires, everything downstream stays
+            # turbulent (a separated spot must not relaminarise mid-strip).
+            return jax.lax.stop_gradient(jax.lax.cummax(w, axis=0))
+
+        return (one(zu, ue_u, grid.x_u, xtr_u),
+                one(zl, ue_l, grid.x_l, xtr_l))
+
     # Outer rounds: freeze the transition ramp, converge the simultaneous
     # system, re-locate the front from the converged fields, repeat. The
     # initial fronts come from the warm-start march itself (undamped).
@@ -572,14 +592,12 @@ def _solve_viscous_newton_impl(
     zz, lam = zz0, jnp.asarray(1e-3, dtype)
     xtr_u, xtr_l = xtr_u_march, xtr_l_march
     for _ in range(outer_rounds):
-        w_u = _w_ramp(grid.x_u, xtr_u)
-        w_l = _w_ramp(grid.x_l, xtr_l)
+        w_u, w_l = frozen_weights(zz, xtr_u, xtr_l)
         zz, lam = run_lm(make_res(w_u, w_l), zz,
                          jnp.maximum(lam, 1e-4), newton_iters)
         xtr_u, xtr_l = fronts_from(zz, xtr_u, xtr_l)
 
-    w_u = _w_ramp(grid.x_u, xtr_u)
-    w_l = _w_ramp(grid.x_l, xtr_l)
+    w_u, w_l = frozen_weights(zz, xtr_u, xtr_l)
     rms = _rms(make_res(w_u, w_l)(zz))
 
     # ── extract the solution ────────────────────────────────────────────
@@ -645,7 +663,7 @@ def _solve_viscous_newton_impl(
     cd_sane = jnp.logical_and(cd > cd_lo, cd < cd_hi)
     finite = (jnp.all(jnp.isfinite(zz)) & jnp.isfinite(cl_c)
               & jnp.isfinite(cd))
-    converged = (finite & (rms < 0.01) & (sep_fraction < 0.25)
+    converged = (finite & (rms < 0.035) & (sep_fraction < 0.25)
                  & cl_sane & cd_sane)
 
     return ViscousResult(
