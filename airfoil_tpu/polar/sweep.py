@@ -22,8 +22,7 @@ import numpy as np
 
 from airfoil_tpu.inviscid import build_operator, solve_inviscid
 from airfoil_tpu.paneling import panel_geometry, repanel, smooth_geometry
-from airfoil_tpu.viscous import solve_viscous
-from airfoil_tpu.viscous.newton import solve_viscous_newton
+from airfoil_tpu.viscous.newton import solve_polar_point
 
 __all__ = ["PolarResult", "solve_polar", "MODE_VISCOUS",
            "MODE_VISCOUS_SMOOTHED", "MODE_INVISCID"]
@@ -59,26 +58,16 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
     xs, ys = smooth_geometry(xp, yp)
     op_s = build_operator(panel_geometry(xs, ys))
 
-    def unpack(r):
-        return (r.cl, r.cd, r.cdp, r.cm, r.converged,
-                r.upper.x_transition, r.lower.x_transition, r.sep_fraction)
-
-    # Primary: the simultaneous-Newton solve (XFOIL-class accuracy) on the
-    # clean geometry, batched over the polar points.
-    v0 = jax.vmap(lambda a, re: unpack(
-        solve_viscous_newton(op, a, re, n_stations=64))
-    )(alphas, reynolds)
-
-    def visc(o, a, re):
-        return unpack(solve_viscous(o, a, re))
-
-    # Fallbacks: the direct under-relaxed solve on clean + smoothed
-    # geometry as ONE doubled batch (operators stacked on a leading axis):
-    # the viscous solve is sequential-latency-bound, so strategy 2 rides
-    # along for free instead of doubling wall time.
+    # Strategies 1 + 2 in ONE doubled batch (clean + smoothed operators
+    # stacked on a leading axis — the solve is latency-bound, so the
+    # smoothed-geometry rescue rides along nearly free). Each point runs
+    # the simultaneous-Newton solve (XFOIL-class accuracy) with the
+    # warm-start direct trajectory as its in-kernel fallback.
     ops2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), op, op_s)
     v12 = jax.vmap(
-        lambda o: jax.vmap(lambda a, re: visc(o, a, re))(alphas, reynolds)
+        lambda o: jax.vmap(
+            lambda a, re: solve_polar_point(o, a, re, n_stations=64)
+        )(alphas, reynolds)
     )(ops2)
     v1 = jax.tree.map(lambda a: a[0], v12)
     v2 = jax.tree.map(lambda a: a[1], v12)
@@ -88,27 +77,24 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
         return r.cl, r.cm
     cl3, cm3 = jax.vmap(inv)(alphas)
 
-    use0 = v0[4]
-    use1 = jnp.logical_and(jnp.logical_not(use0), v1[4])
-    use01 = jnp.logical_or(use0, use1)
-    use2 = jnp.logical_and(jnp.logical_not(use01), v2[4])
-    use3 = jnp.logical_not(jnp.logical_or(use01, use2))
+    use1 = v1[4]
+    use2 = jnp.logical_and(jnp.logical_not(use1), v2[4])
+    use3 = jnp.logical_not(jnp.logical_or(use1, use2))
 
-    def pick(i0, i1, i2, i3):
-        return jnp.where(use0, i0,
-                         jnp.where(use1, i1, jnp.where(use2, i2, i3)))
+    def pick(i1, i2, i3):
+        return jnp.where(use1, i1, jnp.where(use2, i2, i3))
 
     one = jnp.ones_like(alphas)
-    cl = pick(v0[0], v1[0], v2[0], cl3)
-    cd = pick(v0[1], v1[1], v2[1], 0.0 * one)  # inviscid: CD ~ 0
-    cdp = pick(v0[2], v1[2], v2[2], 0.0 * one)
-    cm = pick(v0[3], v1[3], v2[3], cm3)
-    xtru = pick(v0[5], v1[5], v2[5], one)
-    xtrl = pick(v0[6], v1[6], v2[6], one)
-    sep = pick(v0[7], v1[7], v2[7], 0.0 * one)
-    mode = jnp.where(use01, MODE_VISCOUS,
+    cl = pick(v1[0], v2[0], cl3)
+    cd = pick(v1[1], v2[1], 0.0 * one)      # inviscid: CD unrealistically 0
+    cdp = pick(v1[2], v2[2], 0.0 * one)
+    cm = pick(v1[3], v2[3], cm3)
+    xtru = pick(v1[5], v2[5], one)
+    xtrl = pick(v1[6], v2[6], one)
+    sep = pick(v1[7], v2[7], 0.0 * one)
+    mode = jnp.where(use1, MODE_VISCOUS,
                      jnp.where(use2, MODE_VISCOUS_SMOOTHED, MODE_INVISCID))
-    converged = jnp.logical_or(use01, jnp.logical_or(use2, use3))
+    converged = jnp.logical_or(use1, jnp.logical_or(use2, use3))
     return cl, cd, cdp, cm, mode, converged, xtru, xtrl, sep
 
 

@@ -201,9 +201,14 @@ def _soft_floor(x, lo, beta=60.0):
     return lo + jax.nn.softplus(beta * (x - lo)) / beta
 
 
-def _ue_from_m(op, wop, grid, vt0, m_u, m_l, m_w):
-    """Interaction law: station edge velocities as a function of the mass
-    defects (linear through the precomputed influence operators)."""
+_UE_FLOOR_BODY = 0.02
+_UE_FLOOR_WAKE = 0.05
+
+
+def _ue_raws_from_m(op, wop, grid, vt0, m_u, m_l, m_w):
+    """Pre-floor station edge velocities — LINEAR in the mass defects
+    (modulo the frozen derivative clip), which is what makes the
+    structured-Jacobian factorisation exact."""
     pan = op.pan
     sigma_b = _sigma_from_sides(pan, grid.s0, grid.xi_u, m_u, grid.xi_l, m_l)
     sigma_w = _smooth_clip_derivative(wop.xi, m_w)
@@ -211,20 +216,31 @@ def _ue_from_m(op, wop, grid, vt0, m_u, m_l, m_w):
     s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
     s_in = s_mid[1:-1]
     vt_in = vt[1:-1]
-    ue_u = _soft_floor(-jnp.interp(grid.s_q_u, s_in, vt_in), 0.02)
-    ue_l = _soft_floor(jnp.interp(grid.s_q_l, s_in, vt_in), 0.02)
-    ue_w = _soft_floor(wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w, 0.05)
+    raw_u = -jnp.interp(grid.s_q_u, s_in, vt_in)
+    raw_l = jnp.interp(grid.s_q_l, s_in, vt_in)
+    raw_w = wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w
+    return raw_u, raw_l, raw_w, vt, sigma_b, sigma_w
+
+
+def _ue_from_m(op, wop, grid, vt0, m_u, m_l, m_w):
+    """Interaction law: station edge velocities as a function of the mass
+    defects (linear through the precomputed influence operators)."""
+    raw_u, raw_l, raw_w, vt, sigma_b, sigma_w = _ue_raws_from_m(
+        op, wop, grid, vt0, m_u, m_l, m_w)
+    ue_u = _soft_floor(raw_u, _UE_FLOOR_BODY)
+    ue_l = _soft_floor(raw_l, _UE_FLOOR_BODY)
+    ue_w = _soft_floor(raw_w, _UE_FLOOR_WAKE)
     return ue_u, ue_l, ue_w, vt, sigma_b, sigma_w
 
 
-def _residual(zz, w_u, w_l, op, wop, grid, vt0, nu, m_s, n_w):
-    """Full system residual, (3 * (2 m_s + n_w),)."""
+def _residual_given_ue(zz, ue_u, ue_l, ue_w, w_u, w_l, grid, nu, m_s, n_w):
+    """System residual with the edge velocities as EXPLICIT arguments.
+
+    Holding ue fixed, every residual row depends only on the one or two
+    stations of its own strip (banded) — the split is what the colored
+    structured Jacobian exploits.
+    """
     zu, zl, zw = _unpack(zz, m_s, n_w)
-    m_u = jnp.exp(zu[:, 1])
-    m_l = jnp.exp(zl[:, 1])
-    m_w = jnp.exp(zw[:, 1])
-    ue_u, ue_l, ue_w, _vt, _sb, _sw = _ue_from_m(
-        op, wop, grid, vt0, m_u, m_l, m_w)
 
     ones_w = jnp.ones_like(grid.xi_w)
     ru = _interval_residuals(grid.xi_u, ue_u, zu, nu, w_u, wake=False)
@@ -272,6 +288,99 @@ def _residual(zz, w_u, w_l, op, wop, grid, vt0, nu, m_s, n_w):
 
     return jnp.concatenate([
         ric_u, ru.ravel(), ric_l, rl.ravel(), ric_w, rw.ravel()])
+
+
+def _residual(zz, w_u, w_l, op, wop, grid, vt0, nu, m_s, n_w):
+    """Full system residual, (3 * (2 m_s + n_w),)."""
+    zu, zl, zw = _unpack(zz, m_s, n_w)
+    ue_u, ue_l, ue_w, _vt, _sb, _sw = _ue_from_m(
+        op, wop, grid, vt0, jnp.exp(zu[:, 1]), jnp.exp(zl[:, 1]),
+        jnp.exp(zw[:, 1]))
+    return _residual_given_ue(zz, ue_u, ue_l, ue_w, w_u, w_l, grid, nu,
+                              m_s, n_w)
+
+
+def _seed_plan(m_s: int, n_w: int):
+    """Static coloring/scatter plan for the structured Jacobian.
+
+    Coloring by (strip, station parity[, variable]) is collision-free:
+    every residual row touches at most one station of each parity within
+    its own strip, and the wake-IC rows touch one station of each strip.
+    18 z-seeds + 6 ue-seeds replace 3*(2*m_s + n_w) dense jacfwd columns.
+    """
+    import numpy as np
+
+    n3 = 3 * (2 * m_s + n_w)
+    s_m = 2 * m_s + n_w
+
+    def zcol(strip, st, var):
+        return (0, 3 * m_s, 6 * m_s)[strip] + 3 * st + var
+
+    def ucol(strip, st):
+        return (0, m_s, 2 * m_s)[strip] + st
+
+    def zseed(strip, st, var):
+        return strip * 6 + (st % 2) * 3 + var
+
+    def useed(strip, st):
+        return strip * 2 + (st % 2)
+
+    r_ru = 3
+    r_ic_l = r_ru + 3 * (m_s - 1)
+    r_rl = r_ic_l + 3
+    r_ic_w = r_rl + 3 * (m_s - 1)
+    r_rw = r_ic_w + 3
+
+    dep_z, dep_u = [], []
+    for strip, base in ((0, 0), (1, r_ic_l)):          # side IC blocks
+        for eq in range(3):
+            row = base + eq
+            for var in range(3):
+                dep_z.append((row, strip, 0, var))
+            dep_u.append((row, strip, 0))
+    for strip, base, m in ((0, r_ru, m_s), (1, r_rl, m_s),
+                           (2, r_rw, n_w)):            # interval blocks
+        for i in range(1, m):
+            for eq in range(3):
+                row = base + 3 * (i - 1) + eq
+                for st in (i - 1, i):
+                    for var in range(3):
+                        dep_z.append((row, strip, st, var))
+                    dep_u.append((row, strip, st))
+    for eq in range(3):                                # wake IC block
+        row = r_ic_w + eq
+        for strip, st in ((0, m_s - 1), (1, m_s - 1), (2, 0)):
+            for var in range(3):
+                dep_z.append((row, strip, st, var))
+            dep_u.append((row, strip, st))
+
+    rows_z = np.array([d[0] for d in dep_z], np.int32)
+    cols_z = np.array([zcol(*d[1:]) for d in dep_z], np.int32)
+    seeds_z = np.array([zseed(*d[1:]) for d in dep_z], np.int32)
+    rows_u = np.array([d[0] for d in dep_u], np.int32)
+    cols_u = np.array([ucol(*d[1:]) for d in dep_u], np.int32)
+    seeds_u = np.array([useed(*d[1:]) for d in dep_u], np.int32)
+
+    bz = np.zeros((n3, 18), np.float32)
+    for strip, m in ((0, m_s), (1, m_s), (2, n_w)):
+        for st in range(m):
+            for var in range(3):
+                bz[zcol(strip, st, var), zseed(strip, st, var)] = 1.0
+    bu = np.zeros((s_m, 6), np.float32)
+    for strip, m in ((0, m_s), (1, m_s), (2, n_w)):
+        for st in range(m):
+            bu[ucol(strip, st), useed(strip, st)] = 1.0
+
+    # Column index (z-space) of each station's ln-m variable, in m-vector
+    # order — the chain-rule scatter for d ue / d z.
+    var1_cols = np.array(
+        [zcol(0, st, 1) for st in range(m_s)]
+        + [zcol(1, st, 1) for st in range(m_s)]
+        + [zcol(2, st, 1) for st in range(n_w)], np.int32)
+
+    return dict(rows_z=rows_z, cols_z=cols_z, seeds_z=seeds_z,
+                rows_u=rows_u, cols_u=cols_u, seeds_u=seeds_u,
+                bz=bz, bu=bu, var1_cols=var1_cols, n3=n3, s_m=s_m)
 
 
 def _amplification_crossing(xi, x, theta, dstar, ue, nu, n_crit, x_trip,
@@ -387,8 +496,65 @@ def _warm_start(op, wop, grid, vt0, nu, n_crit, x_trip, m_s, n_w,
         return jnp.where(bl.x_transition < x[-1] - 1e-6,
                          bl.x_transition, jnp.asarray(2.0, x.dtype))
 
+    warm_state = dict(sigma_b=sigma_b, sigma_w=sigma_w, bl_u=bl_u,
+                      bl_l=bl_l, ue_u=ue_u, ue_l=ue_l, ue_w=ue_w)
     return (_pack(zu, zl, zw), march_front(bl_u, grid.x_u),
-            march_front(bl_l, grid.x_l))
+            march_front(bl_l, grid.x_l), warm_state)
+
+
+def _fallback_scalars(op, wop, grid, vt0, ws, alpha_deg, nu, dtype):
+    """Polar-point scalars from the warm-start direct trajectory.
+
+    The same extraction as ``coupled.solve_viscous``'s tail (wake march +
+    Squire-Young + Cp forces); serves as the in-kernel fallback for polar
+    points where the Newton solve flags a wrong basin, replacing a whole
+    second direct-solver pass in the batched polar. Returns
+    (cl, cd, cdp, cm, ok, xtr_u, xtr_l, sep_fraction).
+    """
+    from airfoil_tpu.viscous.march import march_wake
+
+    bl_u, bl_l = ws["bl_u"], ws["bl_l"]
+    ue_u, ue_l, ue_w = ws["ue_u"], ws["ue_l"], ws["ue_w"]
+    sigma_b, sigma_w = ws["sigma_b"], ws["sigma_w"]
+
+    vt = vt0 + op.due_dsigma @ sigma_b + wop.dvt_dsigw @ sigma_w
+    cp = 1.0 - vt * vt
+    cl_c, cm, _cdp_raw = _forces_from_cp(op.pan, cp, alpha_deg)
+
+    th0 = bl_u.theta[-1] + bl_l.theta[-1]
+    ds0 = bl_u.dstar[-1] + bl_l.dstar[-1] + grid.te_gap
+
+    def te_ctau(bl):
+        c = jnp.where(jnp.isnan(bl.ctau[-1]), 1e-4, bl.ctau[-1])
+        return jnp.clip(c, 1e-5, 0.3)
+
+    ct0 = ((te_ctau(bl_u) * bl_u.theta[-1] + te_ctau(bl_l) * bl_l.theta[-1])
+           / jnp.maximum(th0, 1e-10))
+    th_w, _ds_w, hk_w = march_wake(wop.xi, ue_w, nu, th0, ds0, ct0)
+
+    h_end = jnp.clip(hk_w[-1], 1.0, 2.5)
+    ue_end = jnp.clip(ue_w[-1], 0.2, 1.5)
+    cd = 2.0 * th_w[-1] * ue_end ** (0.5 * (h_end + 5.0))
+
+    def friction_drag(bl, ue, x):
+        integrand = bl.cf * ue**2
+        return jnp.sum(
+            0.5 * (integrand[1:] + integrand[:-1]) * jnp.abs(jnp.diff(x)))
+
+    cdf = (friction_drag(bl_u, ue_u, grid.x_u)
+           + friction_drag(bl_l, ue_l, grid.x_l))
+    cdp = cd - cdf
+
+    sep = 0.5 * (jnp.mean(bl_u.separated.astype(dtype))
+                 + jnp.mean(bl_l.separated.astype(dtype)))
+    finite = (jnp.isfinite(cl_c) & jnp.isfinite(cd)
+              & jnp.all(jnp.isfinite(sigma_b)))
+    cd_lo = 1.0 / jnp.sqrt(1.0 / nu)
+    cd_hi = 0.25 * (1.0 / nu) ** -0.2
+    ok = finite & (sep < 0.25) & (cd > cd_lo) & (cd < cd_hi)
+    return (cl_c, cd, cdp, cm, ok,
+            jnp.clip(bl_u.x_transition, 0.0, 1.0),
+            jnp.clip(bl_l.x_transition, 0.0, 1.0), sep)
 
 
 @partial(jax.jit, static_argnames=("n_stations", "n_wake", "warm_iters",
@@ -414,9 +580,44 @@ def solve_viscous_newton(
     # and can land a different solution branch. Pin every dot in the solve
     # to full f32.
     with jax.default_matmul_precision("highest"):
-        return _solve_viscous_newton_impl(
+        res, _fb = _solve_viscous_newton_impl(
             op, alpha_deg, reynolds, n_crit, x_forced_transition,
             n_stations, n_wake, warm_iters, newton_iters, outer_rounds)
+        return res
+
+
+@partial(jax.jit, static_argnames=("n_stations", "n_wake", "warm_iters",
+                                   "newton_iters", "outer_rounds"))
+def solve_polar_point(
+    op: InviscidOperator,
+    alpha_deg,
+    reynolds,
+    n_crit: float = 9.0,
+    x_forced_transition: float = 1.0,
+    n_stations: int = 64,
+    n_wake: int = 20,
+    warm_iters: int = 8,
+    newton_iters: int = 8,
+    outer_rounds: int = 3,
+):
+    """One polar point: Newton scalars where converged, else the warm-start
+    direct-trajectory fallback (assembled inside the same solve — no second
+    solver pass needed in the batched polar).
+
+    Returns (cl, cd, cdp, cm, converged, xtr_u, xtr_l, sep_fraction).
+    """
+    with jax.default_matmul_precision("highest"):
+        res, fb = _solve_viscous_newton_impl(
+            op, alpha_deg, reynolds, n_crit, x_forced_transition,
+            n_stations, n_wake, warm_iters, newton_iters, outer_rounds)
+    newton_out = (res.cl, res.cd, res.cdp, res.cm, res.converged,
+                  res.upper.x_transition, res.lower.x_transition,
+                  res.sep_fraction)
+    use_newton = res.converged
+    merged = tuple(
+        jnp.where(use_newton, a, b) for a, b in zip(newton_out, fb))
+    converged = jnp.logical_or(use_newton, fb[4])
+    return merged[:4] + (converged,) + merged[5:]
 
 
 def _solve_viscous_newton_impl(
@@ -453,7 +654,7 @@ def _solve_viscous_newton_impl(
                  x_l=x_l, y_l=y_l, s_q_u=s_q_u, s_q_l=s_q_l, s0=s0,
                  te_gap=te_gap)
 
-    zz0, xtr_u_march, xtr_l_march = _warm_start(
+    zz0, xtr_u_march, xtr_l_march, warm_state = _warm_start(
         op, wop, grid, vt0, nu, n_crit, x_forced_transition, m_s, n_w,
         warm_iters)
 
@@ -464,6 +665,75 @@ def _solve_viscous_newton_impl(
     def _rms(r):
         r = jnp.where(jnp.isfinite(r), r, 1e6)
         return jnp.sqrt(jnp.mean(r * r))
+
+    # ── structured Jacobian ─────────────────────────────────────────────
+    # J = scatter(banded dR/dz) + scatter(banded dR/due) @ due/dm @ dm/dz.
+    # 18 + 6 colored JVPs replace one dense jacfwd over 3*(2M+W) inputs —
+    # the single biggest cost of the LM loop. due/dm = diag(softfloor') @
+    # L, with L (the linear interaction operator) extracted ONCE per solve
+    # at the warm state (exact modulo the rarely-active derivative clip).
+    plan = _seed_plan(m_s, n_w)
+    bz = jnp.asarray(plan["bz"], dtype)
+    bu = jnp.asarray(plan["bu"], dtype)
+    rows_z = jnp.asarray(plan["rows_z"])
+    cols_z = jnp.asarray(plan["cols_z"])
+    seeds_z = jnp.asarray(plan["seeds_z"])
+    rows_u = jnp.asarray(plan["rows_u"])
+    cols_u = jnp.asarray(plan["cols_u"])
+    seeds_u = jnp.asarray(plan["seeds_u"])
+    var1_cols = jnp.asarray(plan["var1_cols"])
+    n3 = plan["n3"]
+
+    def raws_of_m(m_all):
+        r_u, r_l, r_w, _vt, _sb, _sw = _ue_raws_from_m(
+            op, wop, grid, vt0, m_all[:m_s], m_all[m_s:2 * m_s],
+            m_all[2 * m_s:])
+        return jnp.concatenate([r_u, r_l, r_w])
+
+    zu0_, zl0_, zw0_ = _unpack(zz0, m_s, n_w)
+    m_warm = jnp.concatenate([jnp.exp(zu0_[:, 1]), jnp.exp(zl0_[:, 1]),
+                              jnp.exp(zw0_[:, 1])])
+    l_mat = jax.jacfwd(raws_of_m)(m_warm)
+
+    _SF_BETA = 60.0
+
+    def make_jac(w_u, w_l):
+        def jac_fn(zz):
+            zu, zl, zw = _unpack(zz, m_s, n_w)
+            m_all = jnp.concatenate([
+                jnp.exp(zu[:, 1]), jnp.exp(zl[:, 1]), jnp.exp(zw[:, 1])])
+            raws = raws_of_m(m_all)
+            floors = jnp.concatenate([
+                jnp.full((2 * m_s,), _UE_FLOOR_BODY, dtype),
+                jnp.full((n_w,), _UE_FLOOR_WAKE, dtype)])
+            ues = _soft_floor(raws, floors)
+            ue_u, ue_l, ue_w = (ues[:m_s], ues[m_s:2 * m_s],
+                                ues[2 * m_s:])
+
+            def r_of_cz(c):
+                return _residual_given_ue(zz + bz @ c, ue_u, ue_l, ue_w,
+                                          w_u, w_l, grid, nu, m_s, n_w)
+
+            def r_of_cu(c):
+                du = bu @ c
+                return _residual_given_ue(
+                    zz, ue_u + du[:m_s], ue_l + du[m_s:2 * m_s],
+                    ue_w + du[2 * m_s:], w_u, w_l, grid, nu, m_s, n_w)
+
+            jbz = jax.jacfwd(r_of_cz)(jnp.zeros((18,), dtype))
+            jbu = jax.jacfwd(r_of_cu)(jnp.zeros((6,), dtype))
+
+            jac = jnp.zeros((n3, n3), dtype).at[rows_z, cols_z].set(
+                jbz[rows_z, seeds_z])
+            ju = jnp.zeros((n3, plan["s_m"]), dtype).at[
+                rows_u, cols_u].set(jbu[rows_u, seeds_u])
+
+            sfp = jax.nn.sigmoid(_SF_BETA * (raws - floors))
+            j_via_ue = (ju * sfp[None, :]) @ l_mat
+            jac = jac.at[:, var1_cols].add(j_via_ue * m_all[None, :])
+            return jac
+
+        return jac_fn
 
     # Levenberg-Marquardt with adaptive damping. Plain Newton + line search
     # deadlocks on this system (locally-non-smooth spots at the transition
@@ -478,12 +748,12 @@ def _solve_viscous_newton_impl(
     _STEP_CLIP = jnp.tile(jnp.asarray([0.25, 0.25, 1.0], dtype),
                           2 * m_s + n_w)
 
-    def run_lm(res, zz, lam, iters):
+    def run_lm(res, jac_fn, zz, lam, iters):
         def lm_step(carry, _):
             zz, lam = carry
             r = res(zz)
             rms_here = _rms(r)
-            jac = jax.jacfwd(res)(zz)
+            jac = jac_fn(zz)
             jtj = jac.T @ jac
             jtr = jac.T @ r
             diag = jnp.maximum(jnp.diag(jtj), 1e-8)
@@ -593,7 +863,7 @@ def _solve_viscous_newton_impl(
     xtr_u, xtr_l = xtr_u_march, xtr_l_march
     for _ in range(outer_rounds):
         w_u, w_l = frozen_weights(zz, xtr_u, xtr_l)
-        zz, lam = run_lm(make_res(w_u, w_l), zz,
+        zz, lam = run_lm(make_res(w_u, w_l), make_jac(w_u, w_l), zz,
                          jnp.maximum(lam, 1e-4), newton_iters)
         xtr_u, xtr_l = fronts_from(zz, xtr_u, xtr_l)
 
@@ -666,9 +936,12 @@ def _solve_viscous_newton_impl(
     converged = (finite & (rms < 0.035) & (sep_fraction < 0.25)
                  & cl_sane & cd_sane)
 
-    return ViscousResult(
+    res = ViscousResult(
         cl=cl_c, cd=cd, cdp=cdp, cm=cm, cp=cp,
         upper=upper, lower=lower,
         converged=converged, sep_fraction=sep_fraction,
         sigma=sigma_b, sigma_wake=sigma_w,
     )
+    fb = _fallback_scalars(op, wop, grid, vt0, warm_state, alpha_deg, nu,
+                           dtype)
+    return res, fb
