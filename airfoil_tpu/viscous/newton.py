@@ -460,13 +460,21 @@ def _warm_start(op, wop, grid, vt0, nu, n_crit, x_trip, m_s, n_w,
         sw = _smooth_clip_derivative(wop.xi, ue_w * ds_w)
         sb = jnp.where(jnp.isfinite(sb), sb, sigma_b)
         sw = jnp.where(jnp.isfinite(sw), sw, sigma_w)
+        # Relative fixed-point residual of the transpiration update — the
+        # warm trajectory's own convergence measure (gates its use as a
+        # fallback result: an unsettled direct iteration sits near the
+        # inviscid solution and must not be served as 'viscous').
+        drel = (jnp.mean(jnp.abs(sb - sigma_b))
+                / jnp.maximum(jnp.mean(jnp.abs(sb)), 1e-8))
         return (sigma_b + 0.35 * (sb - sigma_b),
-                sigma_w + 0.35 * (sw - sigma_w)), None
+                sigma_w + 0.35 * (sw - sigma_w)), drel
 
     n = pan.xm.shape[0]
     dtype = pan.xm.dtype
     init = (jnp.zeros((n,), dtype), jnp.zeros((n_w,), dtype))
-    (sigma_b, sigma_w), _ = jax.lax.scan(body, init, None, length=warm_iters)
+    (sigma_b, sigma_w), drels = jax.lax.scan(body, init, None,
+                                             length=warm_iters)
+    warm_settled = drels[-1] < 0.10
 
     bl_u, bl_l, ue_u, ue_l, ue_w = one(sigma_b, sigma_w)
 
@@ -497,12 +505,14 @@ def _warm_start(op, wop, grid, vt0, nu, n_crit, x_trip, m_s, n_w,
                          bl.x_transition, jnp.asarray(2.0, x.dtype))
 
     warm_state = dict(sigma_b=sigma_b, sigma_w=sigma_w, bl_u=bl_u,
-                      bl_l=bl_l, ue_u=ue_u, ue_l=ue_l, ue_w=ue_w)
+                      bl_l=bl_l, ue_u=ue_u, ue_l=ue_l, ue_w=ue_w,
+                      settled=warm_settled)
     return (_pack(zu, zl, zw), march_front(bl_u, grid.x_u),
             march_front(bl_l, grid.x_l), warm_state)
 
 
-def _fallback_scalars(op, wop, grid, vt0, ws, alpha_deg, nu, dtype):
+def _fallback_scalars(op, wop, grid, vt0, ws, alpha_deg, nu, dtype,
+                      cl_inv=None):
     """Polar-point scalars from the warm-start direct trajectory.
 
     The same extraction as ``coupled.solve_viscous``'s tail (wake march +
@@ -551,7 +561,11 @@ def _fallback_scalars(op, wop, grid, vt0, ws, alpha_deg, nu, dtype):
               & jnp.all(jnp.isfinite(sigma_b)))
     cd_lo = 1.0 / jnp.sqrt(1.0 / nu)
     cd_hi = 0.25 * (1.0 / nu) ** -0.2
-    ok = finite & (sep < 0.25) & (cd > cd_lo) & (cd < cd_hi)
+    ok = (finite & (sep < 0.25) & (cd > cd_lo) & (cd < cd_hi)
+          & ws["settled"])
+    if cl_inv is not None:
+        # Viscosity only ever reduces the circulation magnitude.
+        ok = ok & (jnp.abs(cl_c) < 1.05 * jnp.abs(cl_inv) + 0.03)
     return (cl_c, cd, cdp, cm, ok,
             jnp.clip(bl_u.x_transition, 0.0, 1.0),
             jnp.clip(bl_l.x_transition, 0.0, 1.0), sep)
@@ -926,15 +940,34 @@ def _solve_viscous_newton_impl(
     # outside the laminar...post-stall envelope for this Reynolds number
     # marks a wrong-basin solution even when the residual is small.
     cl_inv = sol0.cl
-    cl_sane = jnp.abs(cl_c - cl_inv) < jnp.maximum(
-        0.35 * jnp.abs(cl_inv), 0.15)
+    cl_sane = jnp.logical_and(
+        jnp.abs(cl_c - cl_inv) < jnp.maximum(0.35 * jnp.abs(cl_inv), 0.15),
+        # Viscosity only ever reduces the circulation magnitude.
+        jnp.abs(cl_c) < 1.05 * jnp.abs(cl_inv) + 0.03)
     cd_lo = 1.0 / jnp.sqrt(reynolds)          # ~0.4x fully-laminar plate
     cd_hi = 0.25 * reynolds ** -0.2           # ~2x fully-turbulent plate
     cd_sane = jnp.logical_and(cd > cd_lo, cd < cd_hi)
     finite = (jnp.all(jnp.isfinite(zz)) & jnp.isfinite(cl_c)
               & jnp.isfinite(cd))
+
+    # Oracle check: a sequential march over the converged edge-velocity
+    # field must reproduce the system's TE momentum thickness. The march
+    # is parabolic/unique, so a small-residual wrong-basin solution (e.g.
+    # a near-inviscid state at high alpha whose thin BL the sanity bands
+    # cannot reject) fails this even when everything else passes.
+    march_pair2 = jax.vmap(
+        lambda s, ue, x: march_side(s, ue, x, nu, n_crit,
+                                    x_forced_transition))
+    bl_chk = march_pair2(jnp.stack([grid.xi_u, grid.xi_l]),
+                         jnp.stack([ue_u, ue_l]),
+                         jnp.stack([grid.x_u, grid.x_l]))
+    th_chk = bl_chk.theta[0, -1] + bl_chk.theta[1, -1]
+    th_sys = jnp.exp(zu[-1, 0]) + jnp.exp(zl[-1, 0])
+    ratio = th_chk / jnp.maximum(th_sys, 1e-10)
+    march_consistent = jnp.logical_and(ratio > 0.6, ratio < 1.6)
+
     converged = (finite & (rms < 0.035) & (sep_fraction < 0.25)
-                 & cl_sane & cd_sane)
+                 & cl_sane & cd_sane & march_consistent)
 
     res = ViscousResult(
         cl=cl_c, cd=cd, cdp=cdp, cm=cm, cp=cp,
@@ -943,5 +976,5 @@ def _solve_viscous_newton_impl(
         sigma=sigma_b, sigma_wake=sigma_w,
     )
     fb = _fallback_scalars(op, wop, grid, vt0, warm_state, alpha_deg, nu,
-                           dtype)
+                           dtype, cl_inv=sol0.cl)
     return res, fb
