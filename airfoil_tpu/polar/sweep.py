@@ -22,7 +22,10 @@ import numpy as np
 
 from airfoil_tpu.inviscid import build_operator, solve_inviscid
 from airfoil_tpu.paneling import panel_geometry, repanel, smooth_geometry
-from airfoil_tpu.viscous.newton import solve_polar_point
+from airfoil_tpu.viscous.newton import (
+    solve_polar_point,
+    solve_polar_point_cont,
+)
 
 __all__ = ["PolarResult", "solve_polar", "MODE_VISCOUS",
            "MODE_VISCOUS_SMOOTHED", "MODE_INVISCID"]
@@ -64,13 +67,36 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
     # the simultaneous-Newton solve (XFOIL-class accuracy) with the
     # warm-start direct trajectory as its in-kernel fallback.
     ops2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), op, op_s)
-    v12 = jax.vmap(
+    out12 = jax.vmap(
         lambda o: jax.vmap(
             lambda a, re: solve_polar_point(o, a, re, n_stations=64)
         )(alphas, reynolds)
     )(ops2)
+    v12, extra12 = out12
     v1 = jax.tree.map(lambda a: a[0], v12)
     v2 = jax.tree.map(lambda a: a[1], v12)
+
+    # Continuation pass: points whose Newton solve missed (typically the
+    # high-alpha tail near stall, where the warm march is a poor starting
+    # basin) re-solve from the nearest converged neighbour's state — the
+    # alpha-continuation XFOIL users do by sweeping from low alpha.
+    newton_ok = extra12[0][0]                   # clean-op Newton flags (P,)
+    states = jax.tree.map(lambda a: a[0], extra12[1])
+    dist = jnp.abs(alphas[:, None] - alphas[None, :])
+    dist = dist + jnp.where(newton_ok[None, :], 0.0, 1e6)
+    donor = jnp.argmin(dist, axis=1)            # nearest converged point
+    donor_state = jax.tree.map(lambda a: jnp.take(a, donor, axis=0), states)
+    any_ok = jnp.any(newton_ok)
+
+    vc = jax.vmap(
+        lambda a, re, zz, xu, xl: solve_polar_point_cont(
+            op, a, re, zz, xu, xl, n_stations=64)
+    )(alphas, reynolds, *donor_state)
+    # Adopt the continuation result only where pass 1's Newton missed, the
+    # continuation converged, and a donor existed at all.
+    adopt = jnp.logical_and(jnp.logical_not(newton_ok),
+                            jnp.logical_and(vc[4], any_ok))
+    v1 = tuple(jnp.where(adopt, c, p1) for c, p1 in zip(vc, v1))
 
     def inv(a):
         r = solve_inviscid(op, a)

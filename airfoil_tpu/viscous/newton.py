@@ -594,7 +594,7 @@ def solve_viscous_newton(
     # and can land a different solution branch. Pin every dot in the solve
     # to full f32.
     with jax.default_matmul_precision("highest"):
-        res, _fb = _solve_viscous_newton_impl(
+        res, _fb, _state = _solve_viscous_newton_impl(
             op, alpha_deg, reynolds, n_crit, x_forced_transition,
             n_stations, n_wake, warm_iters, newton_iters, outer_rounds)
         return res
@@ -618,12 +618,18 @@ def solve_polar_point(
     direct-trajectory fallback (assembled inside the same solve — no second
     solver pass needed in the batched polar).
 
-    Returns (cl, cd, cdp, cm, converged, xtr_u, xtr_l, sep_fraction).
+    Returns ((cl, cd, cdp, cm, converged, xtr_u, xtr_l, sep_fraction),
+    (newton_converged, final_state)) — the state feeds the polar's
+    continuation pass for points the first pass could not converge.
     """
     with jax.default_matmul_precision("highest"):
-        res, fb = _solve_viscous_newton_impl(
+        res, fb, state = _solve_viscous_newton_impl(
             op, alpha_deg, reynolds, n_crit, x_forced_transition,
             n_stations, n_wake, warm_iters, newton_iters, outer_rounds)
+    return _merge_point(res, fb), (res.converged, state)
+
+
+def _merge_point(res, fb):
     newton_out = (res.cl, res.cd, res.cdp, res.cm, res.converged,
                   res.upper.x_transition, res.lower.x_transition,
                   res.sep_fraction)
@@ -632,6 +638,35 @@ def solve_polar_point(
         jnp.where(use_newton, a, b) for a, b in zip(newton_out, fb))
     converged = jnp.logical_or(use_newton, fb[4])
     return merged[:4] + (converged,) + merged[5:]
+
+
+@partial(jax.jit, static_argnames=("n_stations", "n_wake", "warm_iters",
+                                   "newton_iters", "outer_rounds"))
+def solve_polar_point_cont(
+    op: InviscidOperator,
+    alpha_deg,
+    reynolds,
+    init_zz,
+    init_xtr_u,
+    init_xtr_l,
+    n_crit: float = 9.0,
+    x_forced_transition: float = 1.0,
+    n_stations: int = 64,
+    n_wake: int = 20,
+    warm_iters: int = 2,
+    newton_iters: int = 10,
+    outer_rounds: int = 2,
+):
+    """Continuation re-solve of one polar point from a donor state (a
+    converged neighbouring-alpha solution). Same merged-scalar contract as
+    ``solve_polar_point``; the cheap warm pass only feeds the fallback and
+    the interaction-operator extraction."""
+    with jax.default_matmul_precision("highest"):
+        res, fb, _state = _solve_viscous_newton_impl(
+            op, alpha_deg, reynolds, n_crit, x_forced_transition,
+            n_stations, n_wake, warm_iters, newton_iters, outer_rounds,
+            init_state=(init_zz, init_xtr_u, init_xtr_l))
+    return _merge_point(res, fb)
 
 
 def _solve_viscous_newton_impl(
@@ -645,7 +680,8 @@ def _solve_viscous_newton_impl(
     warm_iters,
     newton_iters,
     outer_rounds,
-) -> ViscousResult:
+    init_state=None,
+):
     pan = op.pan
     nu = 1.0 / reynolds
     dtype = pan.xm.dtype
@@ -875,6 +911,12 @@ def _solve_viscous_newton_impl(
     # equation along the way).
     zz, lam = zz0, jnp.asarray(1e-3, dtype)
     xtr_u, xtr_l = xtr_u_march, xtr_l_march
+    if init_state is not None:
+        # Continuation: start from a converged neighbouring-alpha state
+        # (the polar's second pass) instead of the warm march. The station
+        # grids are congruent across alpha (per-side arc fractions), so
+        # the state transfers index-wise.
+        zz, xtr_u, xtr_l = init_state
     for _ in range(outer_rounds):
         w_u, w_l = frozen_weights(zz, xtr_u, xtr_l)
         zz, lam = run_lm(make_res(w_u, w_l), make_jac(w_u, w_l), zz,
@@ -964,7 +1006,12 @@ def _solve_viscous_newton_impl(
     th_chk = bl_chk.theta[0, -1] + bl_chk.theta[1, -1]
     th_sys = jnp.exp(zu[-1, 0]) + jnp.exp(zl[-1, 0])
     ratio = th_chk / jnp.maximum(th_sys, 1e-10)
-    march_consistent = jnp.logical_and(ratio > 0.6, ratio < 1.6)
+    # The oracle only applies to attached solutions: the march's Hk caps
+    # cannot reproduce a genuinely separated TE region, so there the
+    # simultaneous system is the better truth and the other gates decide.
+    march_consistent = jnp.logical_or(
+        jnp.logical_and(ratio > 0.6, ratio < 1.6),
+        sep_fraction > 0.02)
 
     converged = (finite & (rms < 0.035) & (sep_fraction < 0.25)
                  & cl_sane & cd_sane & march_consistent)
@@ -977,4 +1024,4 @@ def _solve_viscous_newton_impl(
     )
     fb = _fallback_scalars(op, wop, grid, vt0, warm_state, alpha_deg, nu,
                            dtype, cl_inv=sol0.cl)
-    return res, fb
+    return res, fb, (zz, xtr_u, xtr_l)
