@@ -18,7 +18,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from airfoil_tpu.inviscid import build_operator, solve_inviscid
 from airfoil_tpu.paneling import panel_geometry, repanel, smooth_geometry
