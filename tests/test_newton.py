@@ -81,3 +81,26 @@ class TestBatching:
         assert cl.shape == (3,)
         # CL increases monotonically over the linear range.
         assert cl[0] < cl[1] < cl[2]
+
+
+class TestPolarPoint:
+    def test_merged_contract(self, op2412):
+        from airfoil_tpu.viscous.newton import solve_polar_point
+
+        (cl, cd, cdp, cm, conv, xtru, xtrl, sep), (nok, state) = \
+            solve_polar_point(op2412, 2.0, 1e6)
+        assert np.isfinite(float(cl)) and np.isfinite(float(cd))
+        assert 0.0 <= float(xtru) <= 1.0
+        zz, xu, xl = state
+        assert zz.ndim == 1 and zz.shape[0] % 3 == 0
+
+    def test_continuation_accepts_donor_state(self, op2412):
+        from airfoil_tpu.viscous.newton import (
+            solve_polar_point, solve_polar_point_cont)
+
+        (_out, (_nok, state)) = solve_polar_point(op2412, 2.0, 1e6)
+        out8 = solve_polar_point_cont(op2412, 3.0, 1e6, *state)
+        cl = float(out8[0])
+        assert np.isfinite(cl)
+        # One degree up from the donor: lift must increase sensibly.
+        assert 0.3 < cl < 1.0
