@@ -30,7 +30,7 @@ logger = logging.getLogger(__name__)
 
 __all__ = [
     "ApiError", "handle_root", "handle_health", "handle_upload",
-    "handle_polar", "LBMSessions",
+    "handle_polar", "handle_batch", "LBMSessions",
 ]
 
 
@@ -161,6 +161,61 @@ def handle_polar(filename: str, content: bytes, reynolds: float,
             }
             for i in range(len(alphas))
         ],
+    }
+
+
+def handle_batch(files: list, reynolds: float, alpha: float):
+    """Batched multi-airfoil analysis: ONE dispatch over geometries.
+
+    ``files``: list of (filename, content) pairs. Replaces the reference's
+    sequential per-file loop (pages/Airfoil_Analysis.py:866-923) with a
+    single vmapped solve (polar/batch.py).
+    """
+    validate_envelope(reynolds, alpha)
+    if not files:
+        raise ApiError(400, "No files uploaded")
+    if len(files) > 10:
+        raise ApiError(400, "At most 10 files per batch")
+
+    names, coords_list, fixes_list = [], [], []
+    errors = {}
+    for fname, content in files:
+        try:
+            coords, fixes = parse_upload(fname, content)
+            names.append(fname)
+            coords_list.append(np.asarray(coords, np.float32))
+            fixes_list.append(fixes)
+        except ApiError as e:
+            errors[fname] = e.detail
+
+    from airfoil_tpu.polar.batch import solve_batch
+
+    t0 = time.perf_counter()
+    rows = []
+    if coords_list:
+        res = solve_batch(coords_list, reynolds, alpha)
+        for i, nm in enumerate(names):
+            rows.append({
+                "file": nm,
+                "CL": round(float(res.cl[i]), 4),
+                "CD": round(float(res.cd[i]), 6),
+                "CDp": round(float(res.cdp[i]), 6),
+                "Cm": round(float(res.cm[i]), 4),
+                "converged": bool(res.converged[i]),
+                "xtr_upper": round(float(res.xtr_upper[i]), 4),
+                "xtr_lower": round(float(res.xtr_lower[i]), 4),
+                "parser_fixes": fixes_list[i],
+            })
+            increment_analysis_count()
+    dt = time.perf_counter() - t0
+    for nm, detail in errors.items():
+        rows.append({"file": nm, "error": detail})
+    return 200, {
+        "success": True,
+        "reynolds": reynolds,
+        "alpha": alpha,
+        "elapsed_seconds": round(dt, 4),
+        "results": rows,
     }
 
 

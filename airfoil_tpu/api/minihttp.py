@@ -188,6 +188,12 @@ def make_server(host: str = "0.0.0.0", port: int | None = None):
                             _f(fields, "alpha_start"),
                             _f(fields, "alpha_end"),
                             _f(fields, "alpha_step", 1.0))
+                elif path == "/batch/":
+                    pairs = [files[k] for k in sorted(files)]
+                    with solver_lock:
+                        out = handlers.handle_batch(
+                            pairs, _f(fields, "reynolds"),
+                            _f(fields, "alpha"))
                 elif path == "/lbm/start":
                     name, content = self._file_field(files)
                     with solver_lock:

@@ -128,6 +128,19 @@ if HAVE_FASTAPI:
                                     content, reynolds, alpha_start,
                                     alpha_end, alpha_step))
 
+        @app.post("/batch/")
+        @_limit("5/minute")
+        async def batch(request: Request, files: list[UploadFile],
+                        reynolds: float = Form(...),
+                        alpha: float = Form(...)):
+            from anyio import to_thread
+
+            pairs = [(f.filename, await f.read()) for f in files]
+            async with semaphore:
+                return await to_thread.run_sync(
+                    lambda: _unwrap(handlers.handle_batch, pairs,
+                                    reynolds, alpha))
+
         @app.post("/lbm/start")
         @_limit("10/minute")
         async def lbm_start(request: Request, file: UploadFile,

@@ -87,3 +87,16 @@ class TestAnalyze:
         assert r.bl_data is None
         assert r.coefficients["CD"] == 0.0
         assert "INVISCID MODE" in r.coefficients["warning"]
+
+
+class TestBatch:
+    def test_multi_airfoil_single_dispatch(self):
+        from airfoil_tpu.polar import solve_batch
+
+        foils = [naca4(2, 4, 12, 80), naca4(0, 0, 12, 70)]
+        r = solve_batch(foils, 1e6, 2.0, n_panels=128)
+        cl = np.asarray(r.cl)
+        assert cl.shape == (2,)
+        # Cambered section lifts more than the symmetric one at alpha=2.
+        assert cl[0] > cl[1] > 0.05
+        assert np.all(np.isfinite(np.asarray(r.cd)))
