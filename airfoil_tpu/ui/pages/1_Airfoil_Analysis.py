@@ -317,26 +317,27 @@ elif mode == "α sweep (polar)" and files:
             for i, fig in enumerate(figs):
                 cols[i % 2].plotly_chart(fig, use_container_width=True)
 
-# ── batch ──────────────────────────────────────────────────────────────────
+# ── batch: ONE request, one vmapped dispatch over geometries ───────────────
 elif mode == "Batch files" and files:
     if st.button(f"🚀 Analyze {len(files)} files", type="primary"):
-        rows = []
-        prog = st.progress(0.0)
-        for i, f in enumerate(files):
-            code, res = run_analysis(f.getvalue(), f.name, reynolds, alpha,
-                                     BACKEND_URL)
-            if code == 200:
-                c = res["coefficients"]
-                rows.append({"file": f.name, "CL": c.get("CL"),
-                             "CD": c.get("CD"), "Cm": c.get("Cm"),
-                             "mode": c.get("mode")})
+        try:
+            form_files = [(f"file{i}", (f.name, f.getvalue()))
+                          for i, f in enumerate(files)]
+            r = requests.post(f"{BACKEND_URL}/batch/", files=form_files,
+                              data={"reynolds": reynolds, "alpha": alpha},
+                              timeout=180)
+            payload = r.json()
+            if r.status_code == 200:
+                st.session_state["batch"] = payload
             else:
-                rows.append({"file": f.name, "CL": None, "CD": None,
-                             "Cm": None, "mode": "❌ failed"})
-            prog.progress((i + 1) / len(files))
-        st.session_state["batch"] = rows
+                st.error(payload.get("detail", "batch failed"))
+        except Exception as e:
+            st.error(f"Batch request failed: {e}")
     if "batch" in st.session_state:
-        df = pd.DataFrame(st.session_state["batch"])
+        payload = st.session_state["batch"]
+        st.caption(f"{len(payload['results'])} airfoils analyzed in ONE "
+                   f"batched dispatch: {payload['elapsed_seconds']:.3f} s")
+        df = pd.DataFrame(payload["results"])
         st.dataframe(df, use_container_width=True)
         st.download_button("⬇️ CSV", df.to_csv(index=False).encode(),
                            file_name="batch_results.csv")
