@@ -37,7 +37,9 @@ def bench_mlups(nx: int = 640, ny: int = 384, steps_per_call: int = 64,
 
     if use_pallas is None:
         aligned = nx % 128 == 0 and ny % 8 == 0
-        use_pallas = jax.devices()[0].platform != "cpu" and aligned
+        fits_vmem = 2 * 9 * nx * ny * 4 <= 20_000_000
+        use_pallas = (jax.devices()[0].platform != "cpu" and aligned
+                      and fits_vmem)
 
     def run(fc):
         if use_pallas:

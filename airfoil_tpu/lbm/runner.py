@@ -56,7 +56,11 @@ class WindTunnel:
         if self.use_pallas is None:
             on_tpu = jax.devices()[0].platform != "cpu"
             aligned = (self.cfg.nx % 128 == 0) and (self.cfg.ny % 8 == 0)
-            self.use_pallas = on_tpu and aligned
+            # The VMEM-resident kernel holds two (9, NY, NX) f32 stacks;
+            # larger lattices run the plain XLA path (HBM-resident — lower
+            # MLUPS but unbounded grid size).
+            fits_vmem = 2 * 9 * self.cfg.nx * self.cfg.ny * 4 <= 20_000_000
+            self.use_pallas = on_tpu and aligned and fits_vmem
         self.reset(alpha=6.0, u0=self.cfg.u0)
 
     def reset(self, alpha: float, u0: float | None = None):
