@@ -86,15 +86,25 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
     donor = jnp.argmin(dist, axis=1)            # nearest converged point
     donor_state = jax.tree.map(lambda a: jnp.take(a, donor, axis=0), states)
     any_ok = jnp.any(newton_ok)
+    all_ok = jnp.all(newton_ok)
 
-    vc = jax.vmap(
-        lambda a, re, zz, xu, xl: solve_polar_point_cont(
-            op, a, re, zz, xu, xl, n_stations=64)
-    )(alphas, reynolds, *donor_state)
+    def run_cont(_):
+        return jax.vmap(
+            lambda a, re, zz, xu, xl: solve_polar_point_cont(
+                op, a, re, zz, xu, xl, n_stations=64)
+        )(alphas, reynolds, *donor_state)
+
+    def skip_cont(_):
+        return v1
+
+    # The continuation pass only executes when some point actually needs
+    # it (lax.cond: the common easy-polar case pays nothing).
+    needs_cont = jnp.logical_and(jnp.logical_not(all_ok), any_ok)
+    vc = jax.lax.cond(needs_cont, run_cont, skip_cont, operand=None)
     # Adopt the continuation result only where pass 1's Newton missed, the
     # continuation converged, and a donor existed at all.
     adopt = jnp.logical_and(jnp.logical_not(newton_ok),
-                            jnp.logical_and(vc[4], any_ok))
+                            jnp.logical_and(vc[4], needs_cont))
     v1 = tuple(jnp.where(adopt, c, p1) for c, p1 in zip(vc, v1))
 
     def inv(a):
