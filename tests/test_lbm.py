@@ -179,3 +179,20 @@ class TestSharded:
         out = sharded_lbm_steps(mesh, f0, mask, cfg.u0, cfg.tau, steps=12)
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
+
+
+class TestPathSelection:
+    def test_big_grids_avoid_vmem_kernel(self):
+        """Lattices beyond VMEM residency must auto-select the XLA path."""
+        from airfoil_tpu.lbm.bench import bench_mlups  # noqa: F401
+        from airfoil_tpu.config import LBMConfig
+        from airfoil_tpu.lbm.runner import WindTunnel
+        from airfoil_tpu.models import naca4
+
+        # On CPU use_pallas resolves False regardless; exercise the
+        # fits-vmem arithmetic directly.
+        fits = lambda nx, ny: 2 * 9 * nx * ny * 4 <= 20_000_000
+        assert fits(640, 384)
+        assert not fits(1024, 512)
+        r = WindTunnel(naca4(2, 4, 12, 40), cfg=LBMConfig(nx=128, ny=64))
+        assert r.use_pallas is False  # CPU
