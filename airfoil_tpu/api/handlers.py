@@ -234,6 +234,11 @@ class LBMSessions:
     def __init__(self, max_sessions: int = 8):
         self._lock = threading.Lock()
         self._tunnels: dict[str, object] = {}
+        # Per-session locks: frame/set_alpha/set_u0 mutate WindTunnel state
+        # (f ping-pong, EMA smoothers, mask swap); two concurrent /lbm/frame
+        # posts on one session would interleave dispatches or lose steps on
+        # either threaded transport.
+        self._session_locks: dict[str, threading.Lock] = {}
         self._max = max_sessions
 
     def start(self, filename: str, content: bytes, alpha: float):
@@ -246,8 +251,11 @@ class LBMSessions:
         session = str(uuid.uuid4())[:8]
         with self._lock:
             while len(self._tunnels) >= self._max:
-                self._tunnels.pop(next(iter(self._tunnels)))
+                dropped = next(iter(self._tunnels))
+                self._tunnels.pop(dropped)
+                self._session_locks.pop(dropped, None)
             self._tunnels[session] = wt
+            self._session_locks[session] = threading.Lock()
         cfg = wt.cfg
         return 200, {
             "session": session,
@@ -258,14 +266,17 @@ class LBMSessions:
         }
 
     def frame(self, session: str, alpha=None, u0=None, fields="speed"):
-        wt = self._tunnels.get(session)
-        if wt is None:
+        with self._lock:
+            wt = self._tunnels.get(session)
+            slock = self._session_locks.get(session)
+        if wt is None or slock is None:
             raise ApiError(404, "Unknown session")
-        if alpha is not None and abs(alpha - wt.state.alpha) > 1e-6:
-            wt.set_alpha(alpha)
-        if u0 is not None:
-            wt.set_u0(u0)
-        out = wt.frame()
+        with slock:
+            if alpha is not None and abs(alpha - wt.state.alpha) > 1e-6:
+                wt.set_alpha(alpha)
+            if u0 is not None:
+                wt.set_u0(u0)
+            out = wt.frame()
         want = set(fields.split(","))
         return 200, {
             "cl": round(out["cl"], 4),
@@ -283,6 +294,7 @@ class LBMSessions:
     def stop(self, session: str):
         with self._lock:
             self._tunnels.pop(session, None)
+            self._session_locks.pop(session, None)
         return 200, {"stopped": session}
 
 

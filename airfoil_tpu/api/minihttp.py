@@ -19,6 +19,8 @@ import logging
 import os
 import re
 import threading
+import time
+from collections import deque
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -38,14 +40,16 @@ def _parse_multipart(body: bytes, content_type: str):
     """Minimal multipart/form-data parser: returns (fields, files).
 
     ``fields``: dict of str -> str; ``files``: dict of field name ->
-    (filename, bytes).
+    LIST of (filename, bytes). Repeated file field names accumulate (the
+    /batch/ contract posts N parts all named "files", matching the FastAPI
+    transport's ``files: list[UploadFile]`` binding).
     """
     m = re.search(r'boundary="?([^";]+)"?', content_type)
     if not m:
         raise ApiError(400, "Malformed multipart request (no boundary)")
     boundary = b"--" + m.group(1).encode()
     fields: dict[str, str] = {}
-    files: dict[str, tuple[str, bytes]] = {}
+    files: dict[str, list[tuple[str, bytes]]] = {}
     for part in body.split(boundary):
         part = part.strip(b"\r\n")
         if not part or part == b"--":
@@ -60,7 +64,7 @@ def _parse_multipart(body: bytes, content_type: str):
         name = name_m.group(1)
         file_m = re.search(r'filename="([^"]*)"', head_text)
         if file_m:
-            files[name] = (file_m.group(1), payload)
+            files.setdefault(name, []).append((file_m.group(1), payload))
         else:
             fields[name] = payload.decode("utf-8", errors="ignore")
     return fields, files
@@ -78,10 +82,44 @@ def _f(fields, key, default=None):
         raise ApiError(400, f"Field '{key}' must be a number")
 
 
-def make_server(host: str = "0.0.0.0", port: int | None = None):
+class _RateLimiter:
+    """Per-(IP, route-class) sliding-window limiter.
+
+    The reference always rate-limits its endpoints (slowapi decorators at
+    reference main.py:523,531,544: root 10/min, health 20/min, upload
+    5/min); this gives the dependency-free transport the same behaviour.
+    LBM frame/stop posts are exempt — they stream at interactive rates and
+    have no reference counterpart (the reference LBM runs client-side).
+    """
+
+    LIMITS = {"root": 10, "health": 20, "solve": 5}
+
+    def __init__(self, window: float = 60.0):
+        self._window = window
+        self._lock = threading.Lock()
+        self._hits: dict[tuple[str, str], deque] = {}
+
+    def allow(self, ip: str, kind: str) -> bool:
+        limit = self.LIMITS.get(kind)
+        if limit is None:
+            return True
+        now = time.monotonic()
+        with self._lock:
+            q = self._hits.setdefault((ip, kind), deque())
+            while q and now - q[0] > self._window:
+                q.popleft()
+            if len(q) >= limit:
+                return False
+            q.append(now)
+            return True
+
+
+def make_server(host: str = "0.0.0.0", port: int | None = None,
+                rate_limit: bool = True):
     port = config.PORT if port is None else port
     sessions = LBMSessions()
     solver_lock = threading.Semaphore(config.MAX_CONCURRENT_SOLVES)
+    limiter = _RateLimiter() if rate_limit else None
 
     class Handler(BaseHTTPRequestHandler):
         protocol_version = "HTTP/1.1"
@@ -129,17 +167,40 @@ def make_server(host: str = "0.0.0.0", port: int | None = None):
             raise ApiError(400, f"Unsupported content type: {ctype}")
 
         def _file_field(self, files, name="file"):
-            if name not in files:
+            if not files.get(name):
                 raise ApiError(400, f"Missing file field '{name}'")
-            return files[name]
+            return files[name][0]
+
+        @staticmethod
+        def _all_files(files):
+            """Flatten every uploaded file part, preferring the repeated
+            "files" convention; falls back to any field names (e.g. legacy
+            file0..fileN posts) in sorted order."""
+            if files.get("files"):
+                return list(files["files"])
+            return [pair for k in sorted(files) for pair in files[k]]
+
+        def _limited(self, kind: str) -> bool:
+            """True (and responds 429) when the rate limit is exhausted."""
+            if limiter is None:
+                return False
+            ip = self.client_address[0]
+            if limiter.allow(ip, kind):
+                return False
+            self._send_json(429, {"detail": "Rate limit exceeded"})
+            return True
 
         # ── routes ──────────────────────────────────────────────────────
         def do_GET(self):
             path = urlparse(self.path).path
             try:
                 if path == "/":
+                    if self._limited("root"):
+                        return
                     self._send_json(*handlers.handle_root())
                 elif path == "/health":
+                    if self._limited("health"):
+                        return
                     self._send_json(*handlers.handle_health())
                 elif path == "/stats":
                     self._send_json(*handlers.handle_stats())
@@ -173,6 +234,9 @@ def make_server(host: str = "0.0.0.0", port: int | None = None):
         def do_POST(self):
             path = urlparse(self.path).path
             try:
+                if path in ("/upload_airfoil/", "/polar/", "/batch/",
+                            "/lbm/start") and self._limited("solve"):
+                    return
                 fields, files = self._form()
                 if path == "/upload_airfoil/":
                     name, content = self._file_field(files)
@@ -189,7 +253,7 @@ def make_server(host: str = "0.0.0.0", port: int | None = None):
                             _f(fields, "alpha_end"),
                             _f(fields, "alpha_step", 1.0))
                 elif path == "/batch/":
-                    pairs = [files[k] for k in sorted(files)]
+                    pairs = self._all_files(files)
                     with solver_lock:
                         out = handlers.handle_batch(
                             pairs, _f(fields, "reynolds"),

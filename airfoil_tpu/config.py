@@ -58,13 +58,15 @@ class LBMConfig:
     """D2Q9 lattice configuration.
 
     The reference browser tunnel runs NX=320 x NY=160 at tau=0.58 with 4
-    steps/frame (html:76-80). On TPU the lattice lives in VMEM, so the
-    default server grid keeps the same physical domain and operating point
-    but is free to scale; NX is padded to a lane multiple internally.
+    steps/frame (html:76-80). On TPU the lattice lives in VMEM; the default
+    server grid keeps the same physical domain and operating point but is
+    tile-aligned (NX a lane multiple of 128, NY a sublane multiple of 8) so
+    the VMEM-resident Pallas kernel is eligible — no padding is applied, a
+    misaligned grid simply dispatches on the XLA path.
     """
 
-    nx: int = 320
-    ny: int = 160
+    nx: int = 384
+    ny: int = 192
     tau: float = 0.58
     u0: float = 0.06
     steps_per_frame: int = 4

@@ -105,7 +105,11 @@ def analyze_airfoil(
             out["warning"] = INVISCID_WARNING
         return out
 
-    cp_x = [float(v) for v in np.asarray(pan.xm, np.float64)]
+    def cp_x_of(the_op):
+        # Midpoints of the operator actually solved: strategy 2's smoothed
+        # paneling shifts midpoints slightly, and pairing its cp_values
+        # with the clean midpoints would skew the reported distribution.
+        return [float(v) for v in np.asarray(the_op.pan.xm, np.float64)]
 
     def solve_best(the_op):
         """Simultaneous-Newton solve first (XFOIL-class accuracy); fall
@@ -128,7 +132,7 @@ def analyze_airfoil(
         res = solve_best(the_op)
         if bool(res.converged):
             return AnalysisResult(
-                cp_x=cp_x,
+                cp_x=cp_x_of(the_op),
                 cp_values=[float(v) for v in np.asarray(res.cp, np.float64)],
                 coefficients=coeffs(res.cl, res.cd, res.cdp, res.cm,
                                     "viscous"),
@@ -142,7 +146,7 @@ def analyze_airfoil(
     # Strategy 3: inviscid fallback (no BL data; reference main.py:315-323).
     sol = solve_inviscid(op, float(alpha))
     return AnalysisResult(
-        cp_x=cp_x,
+        cp_x=cp_x_of(op),
         cp_values=[float(v) for v in np.asarray(sol.cp, np.float64)],
         coefficients=coeffs(sol.cl, 0.0, 0.0, sol.cm, "inviscid"),
         bl_data=None,

@@ -321,8 +321,11 @@ elif mode == "α sweep (polar)" and files:
 elif mode == "Batch files" and files:
     if st.button(f"🚀 Analyze {len(files)} files", type="primary"):
         try:
-            form_files = [(f"file{i}", (f.name, f.getvalue()))
-                          for i, f in enumerate(files)]
+            # Repeated "files" parts: the one convention both transports
+            # bind (FastAPI list[UploadFile] and minihttp's accumulating
+            # multipart parser).
+            form_files = [("files", (f.name, f.getvalue()))
+                          for f in files]
             r = requests.post(f"{BACKEND_URL}/batch/", files=form_files,
                               data={"reynolds": reynolds, "alpha": alpha},
                               timeout=180)

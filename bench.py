@@ -47,12 +47,21 @@ def bench_polar():
 
     n_points = int(alphas.shape[0])
     pps = n_points / dt
-    conv = float(jnp.mean(out[5].astype(jnp.float32)))
+    # Mode accounting. The old "converged_fraction" was use1|use2|use3 which
+    # is identically 1.0 (the inviscid fill always "converges") — report the
+    # viscous-mode fraction instead: the share of polar points carrying a
+    # real viscous solution (mode != MODE_INVISCID).
+    mode = np.asarray(out[4])
+    n_visc = int(np.sum(mode == 0))
+    n_smooth = int(np.sum(mode == 1))
+    n_inv = int(np.sum(mode == 2))
     return {
         "points_per_sec": pps,
         "polar_seconds": dt,
         "n_points": n_points,
-        "converged_fraction": conv,
+        "viscous_fraction": (n_visc + n_smooth) / n_points,
+        "mode_counts": {"viscous": n_visc, "viscous_smoothed": n_smooth,
+                        "inviscid": n_inv},
     }
 
 
@@ -70,7 +79,8 @@ def main():
 
     extra = {
         "polar_seconds_31pts": round(polar["polar_seconds"], 4),
-        "converged_fraction": round(polar["converged_fraction"], 3),
+        "viscous_fraction": round(polar["viscous_fraction"], 3),
+        "mode_counts": polar["mode_counts"],
         "device": str(jax.devices()[0]),
     }
     if lbm is not None:

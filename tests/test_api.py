@@ -16,7 +16,9 @@ from airfoil_tpu.models import naca4
 
 @pytest.fixture(scope="module")
 def base_url():
-    httpd = make_server(host="127.0.0.1", port=0)
+    # Rate limiting off: these tests hammer the endpoints far past the
+    # per-IP budgets (a dedicated test covers the limiter itself).
+    httpd = make_server(host="127.0.0.1", port=0, rate_limit=False)
     port = httpd.server_address[1]
     t = threading.Thread(target=httpd.serve_forever, daemon=True)
     t.start()
@@ -179,6 +181,61 @@ class TestLBM:
         assert r5.status_code == 404
 
 
+class TestBatch:
+    def test_batch_repeated_files_fields(self, base_url, naca2412_dat):
+        # The /batch/ contract: N multipart parts all named "files"
+        # (matches the FastAPI transport's list[UploadFile] binding).
+        naca0012 = dat_bytes(naca4(0, 0, 12, 60))
+        r = requests.post(
+            base_url + "/batch/",
+            data={"reynolds": 1e6, "alpha": 4.0},
+            files=[("files", ("naca2412.dat", naca2412_dat)),
+                   ("files", ("naca0012.dat", naca0012))],
+            timeout=600)
+        assert r.status_code == 200, r.text
+        body = r.json()
+        assert len(body["results"]) == 2
+        names = [row["file"] for row in body["results"]]
+        assert names == ["naca2412.dat", "naca0012.dat"]
+        cls = [row["CL"] for row in body["results"]]
+        assert cls[0] > cls[1]  # cambered lifts more than symmetric
+
+    def test_batch_legacy_field_names(self, base_url, naca2412_dat):
+        # Legacy file0..fileN posts still work (flattened in sorted order).
+        r = requests.post(
+            base_url + "/batch/",
+            data={"reynolds": 1e6, "alpha": 4.0},
+            files=[("file0", ("a.dat", naca2412_dat))],
+            timeout=600)
+        assert r.status_code == 200, r.text
+        assert len(r.json()["results"]) == 1
+
+
+class TestRateLimit:
+    def test_solve_posts_limited(self):
+        httpd = make_server(host="127.0.0.1", port=0)  # limiter ON
+        port = httpd.server_address[1]
+        t = threading.Thread(target=httpd.serve_forever, daemon=True)
+        t.start()
+        try:
+            url = f"http://127.0.0.1:{port}"
+            # Reference budget: 5 solver posts per minute per IP
+            # (main.py:544). The 6th must 429 before parsing the body.
+            codes = []
+            for _ in range(6):
+                r = requests.post(url + "/upload_airfoil/",
+                                  data={"reynolds": 1e6, "alpha": 200.0},
+                                  files={"file": ("a.dat", b"bad")},
+                                  timeout=30)
+                codes.append(r.status_code)
+            assert codes[:5] == [400] * 5
+            assert codes[5] == 429
+            # Health has its own, larger budget — still open.
+            assert requests.get(url + "/health").status_code == 200
+        finally:
+            httpd.shutdown()
+
+
 class TestFastAPIVariant:
     def test_fastapi_app_when_available(self, naca2412_dat):
         try:
@@ -192,3 +249,18 @@ class TestFastAPIVariant:
                         files={"file": ("a.dat", naca2412_dat)},
                         data={"reynolds": 1e6, "alpha": 4.0})
         assert r.status_code == 200
+
+    def test_fastapi_batch_repeated_files(self, naca2412_dat):
+        try:
+            from fastapi.testclient import TestClient
+            from airfoil_tpu.api.server import create_app
+        except ImportError:
+            pytest.skip("fastapi not installed in this image")
+        client = TestClient(create_app())
+        r = client.post(
+            "/batch/",
+            files=[("files", ("naca2412.dat", naca2412_dat)),
+                   ("files", ("naca0012.dat", dat_bytes(naca4(0, 0, 12, 60))))],
+            data={"reynolds": 1e6, "alpha": 4.0})
+        assert r.status_code == 200, r.text
+        assert len(r.json()["results"]) == 2
