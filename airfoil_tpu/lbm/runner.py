@@ -19,7 +19,7 @@ import numpy as np
 from airfoil_tpu.config import LBMConfig, DEFAULT_LBM
 from airfoil_tpu.lbm.core import equilibrium_init, lbm_step
 from airfoil_tpu.lbm.diagnostics import forces_and_separation, render_fields
-from airfoil_tpu.lbm.kernel import lbm_steps_pallas
+from airfoil_tpu.lbm.kernel import lbm_steps_pallas, lbm_steps_pallas_tiled
 from airfoil_tpu.lbm.masks import build_mask
 
 __all__ = ["LBMState", "WindTunnel"]
@@ -51,16 +51,22 @@ class WindTunnel:
     cd_smooth: float | None = None
     sep_smooth: float = 0.0
 
+    tiled: bool = False
+
     def __post_init__(self):
         self.coords = np.asarray(self.coords, np.float64)
         if self.use_pallas is None:
             on_tpu = jax.devices()[0].platform != "cpu"
             aligned = (self.cfg.nx % 128 == 0) and (self.cfg.ny % 8 == 0)
-            # The VMEM-resident kernel holds two (9, NY, NX) f32 stacks;
-            # larger lattices run the plain XLA path (HBM-resident — lower
-            # MLUPS but unbounded grid size).
+            # Path selection: VMEM-resident kernel when two (9, NY, NX) f32
+            # stacks fit on-chip; the row-strip halo kernel (HBM-resident,
+            # same step fusion) for larger tile-aligned grids; plain XLA
+            # otherwise.
             fits_vmem = 2 * 9 * self.cfg.nx * self.cfg.ny * 4 <= 20_000_000
-            self.use_pallas = on_tpu and aligned and fits_vmem
+            tileable = (aligned and self.cfg.ny % 32 == 0
+                        and self.cfg.ny >= 48)
+            self.use_pallas = on_tpu and (fits_vmem and aligned or tileable)
+            self.tiled = on_tpu and tileable and not (fits_vmem and aligned)
         self.reset(alpha=6.0, u0=self.cfg.u0)
 
     def reset(self, alpha: float, u0: float | None = None):
@@ -90,7 +96,10 @@ class WindTunnel:
         """Advance one frame; return stats + field arrays."""
         st = self.state
         steps = self.cfg.steps_per_frame if steps is None else steps
-        if self.use_pallas:
+        if self.use_pallas and self.tiled:
+            st.f = lbm_steps_pallas_tiled(st.f, st.solid, st.u0,
+                                          self.cfg.tau, steps=steps)
+        elif self.use_pallas:
             st.f = lbm_steps_pallas(st.f, st.solid, st.u0, self.cfg.tau,
                                     steps=steps)
         else:

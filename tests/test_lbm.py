@@ -196,3 +196,45 @@ class TestPathSelection:
         assert not fits(1024, 512)
         r = WindTunnel(naca4(2, 4, 12, 40), cfg=LBMConfig(nx=128, ny=64))
         assert r.use_pallas is False  # CPU
+
+
+class TestTiledKernel:
+    def test_tiled_interpret_matches_xla(self):
+        """Row-strip halo kernel (interpret mode) == XLA path over multiple
+        strips, including the clamped edge windows."""
+        from airfoil_tpu.lbm.kernel import lbm_steps_pallas_tiled
+
+        cfg = LBMConfig(nx=128, ny=96)
+        mask = jnp.asarray(rasterize_airfoil(naca4(2, 4, 12, 40), 6.0, cfg))
+        f0 = equilibrium_init(cfg.ny, cfg.nx, cfg.u0)
+        fx = lbm_step(f0, mask, cfg.u0, cfg.tau, steps=4)
+        with jax.disable_jit():  # interpret path under disable_jit on CPU
+            import jax.experimental.pallas.tpu as pltpu
+            with pltpu.force_tpu_interpret_mode():
+                ft = lbm_steps_pallas_tiled(f0, mask, cfg.u0, cfg.tau,
+                                            steps=4, tile_rows=32)
+        np.testing.assert_allclose(np.asarray(ft), np.asarray(fx),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_tiled_shape_validation(self):
+        from airfoil_tpu.lbm.kernel import lbm_steps_pallas_tiled
+
+        f0 = equilibrium_init(40, 128, 0.06)
+        mask = jnp.zeros((40, 128), jnp.float32)
+        with pytest.raises(ValueError):
+            lbm_steps_pallas_tiled(f0, mask, 0.06, 0.58, tile_rows=32)
+
+    def test_path_selection_tiled_for_large_grids(self):
+        """Grid beyond VMEM residency but tile-aligned -> tiled kernel on
+        TPU (asserted via the selection arithmetic; CPU runs XLA)."""
+        from airfoil_tpu.lbm.runner import WindTunnel
+
+        r = WindTunnel(naca4(2, 4, 12, 40), cfg=LBMConfig(nx=128, ny=64))
+        assert r.use_pallas is False and r.tiled is False  # CPU
+        fits = lambda nx, ny: 2 * 9 * nx * ny * 4 <= 20_000_000
+        tileable = lambda nx, ny: (nx % 128 == 0 and ny % 8 == 0
+                                   and ny % 32 == 0 and ny >= 48)
+        # 2048x1024: beyond VMEM, tile-aligned -> tiled on TPU.
+        assert not fits(2048, 1024) and tileable(2048, 1024)
+        # default grid: VMEM-resident kernel territory.
+        assert fits(384, 192)
