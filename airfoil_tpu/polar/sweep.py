@@ -2,13 +2,29 @@
 
 The reference computes an N-point polar as N sequential HTTP+XFOIL
 round-trips (pages/Airfoil_Analysis.py:938-968 — "the hot loop"), each
-costing seconds to 90 s. Here the (alpha, Re) grid is a single ``vmap`` of
-the coupled viscous solve, and the reference's three-strategy fallback
-(viscous -> viscous+smoothed geometry -> inviscid, run_xfoil_sync at
-main.py:284-325) becomes a batched masked selection: all three strategies
-are evaluated for every point (they are one vmap each) and each point takes
-the first converged one, tagging ``mode`` exactly like the reference tags
-``coefficients["mode"]`` (main.py:504-506).
+costing seconds to 90 s. Here a whole polar is ONE jitted dispatch,
+hybrid parallel/sequential:
+
+1. **Batched per-point pass** — every (alpha, Re) point runs the
+   warm-start simultaneous-Newton solve under one ``vmap``: the MXU sees
+   P stacked 3x(2M+W)-dof LM solves at once. This is the accuracy
+   workhorse over the attached-flow range.
+2. **Continuation walk** — ONE ``lax.scan`` walks the sorted alphas
+   outward from alpha ~ 0, up then down (the way XFOIL users drive ASEQ
+   sweeps). At each point the walk *audits* the per-point result against
+   the trend of its accepted neighbours (polar quantities are smooth in
+   alpha): a converged-looking point off the trend is a wrong-basin
+   solution — spurious bubble or decambered branch — and re-solves by
+   continuation from the carry state. Points whose per-point solve
+   failed outright (the stall tail) re-solve the same way, which is what
+   extends the envelope into the rollover region. Clean points cost the
+   walk nothing (``lax.cond`` skips the re-solve).
+3. **Fallback strategies** — the reference's three-strategy driver
+   (viscous -> viscous+smoothed geometry -> inviscid, run_xfoil_sync at
+   main.py:284-325) becomes masked selection: still-failed points take
+   the smoothed-geometry solve (a ``lax.cond``-gated vmap — free when
+   the polar is clean), then the inviscid fill, tagging ``mode`` exactly
+   like the reference tags ``coefficients["mode"]`` (main.py:504-506).
 """
 
 from __future__ import annotations
@@ -33,6 +49,8 @@ MODE_VISCOUS = 0
 MODE_VISCOUS_SMOOTHED = 1
 MODE_INVISCID = 2
 
+_N_STATIONS = 96
+
 
 class PolarResult(NamedTuple):
     """Per-point polar arrays; all shapes (P,) for P (alpha, Re) pairs."""
@@ -50,69 +68,177 @@ class PolarResult(NamedTuple):
     sep_fraction: jnp.ndarray
 
 
+def _tree_where(pred, a, b):
+    def sel(x, y):
+        p = jnp.reshape(pred, jnp.shape(pred) + (1,) * (x.ndim - pred.ndim)) \
+            if x.ndim > jnp.ndim(pred) else pred
+        return jnp.where(p, x, y)
+    return jax.tree.map(sel, a, b)
+
+
+def _trend_ok(a, cl, cd, hist):
+    """Is (cl, cd) at alpha ``a`` consistent with the walk's history?
+
+    ``hist`` = (n_acc, a1, cl1, cd1, a2, cl2, cd2): the last two accepted
+    points (1 = most recent). With two, CL/CD are linearly extrapolated;
+    with one, predicted flat with a band widened by the full lift-slope
+    uncertainty. Bands are generous: they must pass genuine polar
+    curvature (stall rollover) while catching wrong-basin jumps, which in
+    practice are >= 15% in CL or >= 40% in CD.
+    """
+    n_acc, a1, cl1, cd1, a2, cl2, cd2 = hist
+    da = a - a1
+    dd = jnp.where(jnp.abs(a1 - a2) < 1e-6, 1.0, a1 - a2)
+    slope_cl = (cl1 - cl2) / dd
+    slope_cd = (cd1 - cd2) / dd
+    two = n_acc >= 2
+    cl_pred = jnp.where(two, cl1 + slope_cl * da, cl1)
+    cd_pred = jnp.where(two, cd1 + slope_cd * da, cd1)
+    # Slope uncertainty: full lift-curve slope when only one point is
+    # known; curvature-scale slack when extrapolating from two.
+    band_cl = jnp.where(two, 0.045 + 0.05 * jnp.abs(da),
+                        0.05 + 0.13 * jnp.abs(da))
+    band_cd = jnp.where(two,
+                        jnp.maximum(0.0015, 0.30 * jnp.abs(cd_pred)),
+                        jnp.maximum(0.0030, 0.50 * jnp.abs(cd_pred)))
+    cl_ok = jnp.abs(cl - cl_pred) <= band_cl
+    cd_ok = jnp.abs(cd - cd_pred) <= band_cd
+    return jnp.logical_or(n_acc < 1, jnp.logical_and(cl_ok, cd_ok))
+
+
+def _shift_hist(hist, a, cl, cd):
+    n_acc, a1, cl1, cd1, _a2, _cl2, _cd2 = hist
+    return (jnp.minimum(n_acc + 1, 2), a, cl, cd, a1, cl1, cd1)
+
+
+def _walk(op, a_seq, re_seq, active, m1_seq, nok1_seq, st1_seq, state_like):
+    """The continuation walk: one scan over [ascending; descending] alphas.
+
+    Each step either adopts the audited per-point result (cheap path) or
+    re-solves by continuation from the carry (the last accepted state).
+    The carry resets where a direction's first active step begins
+    (``act & ~prev_act``), so the up and down walks are independent even
+    though they share one scan.
+    """
+    f32 = a_seq.dtype
+    zero_hist = (jnp.zeros((), jnp.int32),) + tuple(
+        jnp.zeros((), f32) for _ in range(6))
+    zeros8 = tuple(jnp.zeros((), f32) for _ in range(4)) + (
+        jnp.array(False),) + tuple(jnp.zeros((), f32) for _ in range(3))
+
+    def step(carry, inp):
+        prev_act, hist, st = carry
+        a, re_, act, m1, nok1, st1 = inp
+        reset = jnp.logical_and(act, jnp.logical_not(prev_act))
+        hist = jax.tree.map(
+            lambda z, h: jnp.where(reset, z, h), zero_hist, hist)
+
+        adopt1 = jnp.logical_and(
+            nok1, _trend_ok(a, m1[0], m1[1], hist))
+        # Continuation is possible once the walk holds an accepted state.
+        can_cont = hist[0] >= 1
+        run_cont = jnp.logical_and(
+            act, jnp.logical_and(jnp.logical_not(adopt1), can_cont))
+
+        def cont(stc):
+            mc, (nokc, st_new) = solve_polar_point_cont(
+                op, a, re_, *stc, n_stations=_N_STATIONS)
+            return mc, nokc, st_new
+
+        def skip(stc):
+            return zeros8, jnp.array(False), stc
+
+        mc, nokc, stc_new = jax.lax.cond(run_cont, cont, skip, st)
+
+        use1 = jnp.logical_and(act, adopt1)
+        usec = jnp.logical_and(run_cont, nokc)
+        used = jnp.logical_or(use1, usec)
+        m_out = _tree_where(use1, m1, _tree_where(usec, mc, zeros8))
+        st_out = _tree_where(use1, st1, _tree_where(usec, stc_new, st))
+        hist_out = jax.tree.map(
+            lambda h, hn: jnp.where(used, hn, h),
+            hist, _shift_hist(hist, a, m_out[0], m_out[1]))
+        return (act, hist_out, st_out), (m_out, used)
+
+    init = (jnp.array(False), zero_hist, state_like)
+    _, (m_walk, used) = jax.lax.scan(
+        step, init, (a_seq, re_seq, active, m1_seq, nok1_seq, st1_seq))
+    return m_walk, used
+
+
 @partial(jax.jit, static_argnames=("n_panels",))
 def _polar_kernel(coords, alphas, reynolds, n_panels=160):
-    """The single-dispatch polar: all three strategies, batched."""
+    """The single-dispatch polar (see module docstring)."""
     xp, yp = repanel(coords, n_panels)
     pan = panel_geometry(xp, yp)
     op = build_operator(pan)
+    p_total = alphas.shape[0]
 
-    xs, ys = smooth_geometry(xp, yp)
-    op_s = build_operator(panel_geometry(xs, ys))
+    # ── pass 1: batched per-point solves ────────────────────────────────
+    m1, (nok1, st1) = jax.vmap(
+        lambda a, re_: solve_polar_point(op, a, re_,
+                                         n_stations=_N_STATIONS)
+    )(alphas, reynolds)
 
-    # Strategies 1 + 2 in ONE doubled batch (clean + smoothed operators
-    # stacked on a leading axis — the solve is latency-bound, so the
-    # smoothed-geometry rescue rides along nearly free). Each point runs
-    # the simultaneous-Newton solve (XFOIL-class accuracy) with the
-    # warm-start direct trajectory as its in-kernel fallback.
-    ops2 = jax.tree.map(lambda a, b: jnp.stack([a, b]), op, op_s)
-    out12 = jax.vmap(
-        lambda o: jax.vmap(
-            lambda a, re: solve_polar_point(o, a, re, n_stations=64)
+    # ── pass 2: the continuation walk (audit + repair + extend) ─────────
+    order = jnp.argsort(alphas)
+    inv = jnp.argsort(order)
+    a_s = alphas[order]
+    re_s = reynolds[order]
+    m1_s = jax.tree.map(lambda x: x[order], m1)
+    nok1_s = nok1[order]
+    st1_s = jax.tree.map(lambda x: x[order], st1)
+    pos0 = jnp.argmin(jnp.abs(a_s))
+    pos = jnp.arange(p_total)
+
+    a_seq = jnp.concatenate([a_s, a_s[::-1]])
+    re_seq = jnp.concatenate([re_s, re_s[::-1]])
+    active = jnp.concatenate([pos >= pos0, (pos <= pos0)[::-1]])
+    m1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), m1_s)
+    nok1_seq = jnp.concatenate([nok1_s, nok1_s[::-1]])
+    st1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), st1_s)
+    state_like = jax.tree.map(lambda x: x[0], st1)
+
+    m_walk, used = _walk(op, a_seq, re_seq, active, m1_seq, nok1_seq,
+                         st1_seq, state_like)
+
+    m_up = jax.tree.map(lambda x: x[:p_total], m_walk)
+    m_dn = jax.tree.map(lambda x: x[p_total:][::-1], m_walk)
+    used_up = used[:p_total]
+    used_dn = used[p_total:][::-1]
+    take_up = pos >= pos0
+    m_sorted = _tree_where(take_up, m_up, m_dn)
+    used_sorted = jnp.where(take_up, used_up, used_dn)
+    v1 = jax.tree.map(lambda x: x[inv], m_sorted)
+    walk_used = used_sorted[inv]
+    # Walk results carry their own convergence in slot 4; a point the walk
+    # never accepted is unconverged regardless of what slot 4 says.
+    v1 = v1[:4] + (jnp.logical_and(v1[4], walk_used),) + v1[5:]
+
+    # ── pass 3: smoothed-geometry rescue (reference Strategy 2) ─────────
+    use1 = v1[4]
+    needs_s2 = jnp.logical_not(jnp.all(use1))
+
+    def run_s2(_):
+        xs, ys = smooth_geometry(xp, yp)
+        op_s = build_operator(panel_geometry(xs, ys))
+        out, _extra = jax.vmap(
+            lambda a, re_: solve_polar_point(op_s, a, re_,
+                                             n_stations=_N_STATIONS)
         )(alphas, reynolds)
-    )(ops2)
-    v12, extra12 = out12
-    v1 = jax.tree.map(lambda a: a[0], v12)
-    v2 = jax.tree.map(lambda a: a[1], v12)
+        return out
 
-    # Continuation pass: points whose Newton solve missed (typically the
-    # high-alpha tail near stall, where the warm march is a poor starting
-    # basin) re-solve from the nearest converged neighbour's state — the
-    # alpha-continuation XFOIL users do by sweeping from low alpha.
-    newton_ok = extra12[0][0]                   # clean-op Newton flags (P,)
-    states = jax.tree.map(lambda a: a[0], extra12[1])
-    dist = jnp.abs(alphas[:, None] - alphas[None, :])
-    dist = dist + jnp.where(newton_ok[None, :], 0.0, 1e6)
-    donor = jnp.argmin(dist, axis=1)            # nearest converged point
-    donor_state = jax.tree.map(lambda a: jnp.take(a, donor, axis=0), states)
-    any_ok = jnp.any(newton_ok)
-    all_ok = jnp.all(newton_ok)
+    def skip_s2(_):
+        return jax.tree.map(lambda x: jnp.zeros_like(x), m1)
 
-    def run_cont(_):
-        return jax.vmap(
-            lambda a, re, zz, xu, xl: solve_polar_point_cont(
-                op, a, re, zz, xu, xl, n_stations=64)
-        )(alphas, reynolds, *donor_state)
+    v2 = jax.lax.cond(needs_s2, run_s2, skip_s2, operand=None)
 
-    def skip_cont(_):
-        return v1
-
-    # The continuation pass only executes when some point actually needs
-    # it (lax.cond: the common easy-polar case pays nothing).
-    needs_cont = jnp.logical_and(jnp.logical_not(all_ok), any_ok)
-    vc = jax.lax.cond(needs_cont, run_cont, skip_cont, operand=None)
-    # Adopt the continuation result only where pass 1's Newton missed, the
-    # continuation converged, and a donor existed at all.
-    adopt = jnp.logical_and(jnp.logical_not(newton_ok),
-                            jnp.logical_and(vc[4], needs_cont))
-    v1 = tuple(jnp.where(adopt, c, p1) for c, p1 in zip(vc, v1))
-
-    def inv(a):
+    # ── pass 4: inviscid fill (reference Strategy 3) ────────────────────
+    def inv_point(a):
         r = solve_inviscid(op, a)
         return r.cl, r.cm
-    cl3, cm3 = jax.vmap(inv)(alphas)
+    cl3, cm3 = jax.vmap(inv_point)(alphas)
 
-    use1 = v1[4]
     use2 = jnp.logical_and(jnp.logical_not(use1), v2[4])
     use3 = jnp.logical_not(jnp.logical_or(use1, use2))
 
@@ -144,7 +270,11 @@ def solve_polar(
     ``alphas`` and ``reynolds`` are broadcast against each other: pass a
     scalar Re with an alpha vector for a classic polar, or equal-length
     vectors for a general (alpha, Re) set, or use ``jnp.meshgrid`` +
-    ``ravel`` upstream for the full product grid.
+    ``ravel`` upstream for the full product grid. The continuation walk
+    audits points in sorted-alpha order regardless of Re; for mixed-Re
+    sets the donor states transfer across the Re jumps (the boundary
+    layer scales smoothly in Re), and the trend audit spans them with its
+    slope term, so classic fixed-Re polars are the best-tested shape.
     """
     coords = jnp.asarray(coords, jnp.float32)
     alphas = jnp.atleast_1d(jnp.asarray(alphas, jnp.float32))

@@ -113,11 +113,31 @@ def _sample_side(s_mid, values, s_query):
     return jnp.interp(s_query, s_mid, values)
 
 
+# Edge-velocity queries stop this fraction of the side's arc length short of
+# the trailing edge. At a finite-angle TE the inviscid surface speed dives
+# toward the corner stagnation over the last ~1% of arc — a sub-boundary-
+# layer-scale feature the outer flow at the BL edge never imposes on the
+# layer. Sampling it feeds an O(0.1) spurious deceleration into the last
+# stations, and because d(theta) responds as exp((2+H)|dln ue|) the TE
+# momentum thickness (hence the Squire-Young CD) inflates ~20-30% on
+# closed-TE sections. XFOIL's nodal-vorticity discretisation has the same
+# regularisation built in: its TE edge velocity is the Kutta-constrained
+# node value, and the corner limit between the last node and the corner is
+# deliberately unresolved (the reference drives that solver at
+# main.py:362-366). Cusped TEs have no corner stagnation, so the clamp is a
+# no-op there beyond freezing the last ~1% of a smooth ue.
+_TE_UE_MARGIN = 0.01
+
+
 def _side_stations(pan, vt, s0, upper: bool, m: int):
     """Station grid (arc xi from stagnation), Ue, x, y for one side.
 
     The first and last panel midpoints (the sharp-TE sliver panels, whose
-    Vt is least reliable) are excluded from the interpolation stencil.
+    Vt is least reliable) are excluded from the interpolation stencil, and
+    the ue queries are clamped ``_TE_UE_MARGIN`` short of the TE (see
+    above). The returned query positions carry the clamp so the Newton
+    system's interaction law samples identically; station x/y positions are
+    NOT clamped — the grid itself still spans to the TE.
     """
     dtype = vt.dtype
     s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
@@ -128,16 +148,18 @@ def _side_stations(pan, vt, s0, upper: bool, m: int):
         length = s0 - pan.s[0]
         xi = frac * length
         s_q = s0 - xi
-        ue = -_sample_side(s_in, vt_in, s_q)
+        s_q_ue = jnp.maximum(s_q, pan.s[0] + _TE_UE_MARGIN * length)
+        ue = -_sample_side(s_in, vt_in, s_q_ue)
     else:
         length = pan.s[-1] - s0
         xi = frac * length
         s_q = s0 + xi
-        ue = _sample_side(s_in, vt_in, s_q)
+        s_q_ue = jnp.minimum(s_q, pan.s[-1] - _TE_UE_MARGIN * length)
+        ue = _sample_side(s_in, vt_in, s_q_ue)
     ue = jnp.maximum(ue, 0.02)
     x = _sample_side(s_mid, pan.xm, s_q)
     y = _sample_side(s_mid, pan.ym, s_q)
-    return xi, s_q, ue, x, y
+    return xi, s_q_ue, ue, x, y
 
 
 def _smooth_clip_derivative(xi, mval, clip=2.0):

@@ -383,38 +383,6 @@ def _seed_plan(m_s: int, n_w: int):
                 bz=bz, bu=bu, var1_cols=var1_cols, n3=n3, s_m=s_m)
 
 
-def _amplification_crossing(xi, x, theta, dstar, ue, nu, n_crit, x_trip,
-                            dtype):
-    """Explicit e^N integration over the current fields -> transition x.
-
-    A parallel cumulative sum (the amplification equation is parabolic and
-    its rate does not depend on n), so the crossing is unique and cheap.
-    Returns the interpolated n = n_crit crossing (2.0 if none before TE),
-    already min'ed with the forced-trip location.
-    """
-    theta = jnp.maximum(theta, 1e-10)
-    hk = jnp.clip(dstar / theta, 1.005, 12.0)
-    ret = jnp.maximum(ue * theta / nu, 1.0)
-    rate = cl.amplification_rate(hk, theta, ret)
-    ds = jnp.maximum(xi[1:] - xi[:-1], 1e-8)
-    n_cum = jnp.concatenate([
-        jnp.zeros((1,), dtype),
-        jnp.cumsum(0.5 * (rate[1:] + rate[:-1]) * ds),
-    ])
-    crossed = jnp.logical_and(n_cum[:-1] < n_crit, n_cum[1:] >= n_crit)
-    frac = jnp.where(
-        crossed,
-        (n_crit - n_cum[:-1]) / jnp.maximum(n_cum[1:] - n_cum[:-1], 1e-6),
-        0.0)
-    xc = x[:-1] + frac * (x[1:] - x[:-1])
-    any_c = jnp.any(crossed)
-    idx = jnp.argmax(crossed)
-    x_free = jnp.where(any_c, xc[idx], jnp.asarray(2.0, dtype))
-    if isinstance(x_trip, (int, float)) and x_trip >= 1.0:
-        return x_free, n_cum  # no forced trip: 2.0 = laminar to the TE
-    return jnp.minimum(x_free, jnp.asarray(x_trip, dtype)), n_cum
-
-
 def _w_ramp(x, xtr):
     return jax.nn.sigmoid((x - xtr) / _TR_WIDTH)
 
@@ -653,20 +621,21 @@ def solve_polar_point_cont(
     x_forced_transition: float = 1.0,
     n_stations: int = 64,
     n_wake: int = 20,
-    warm_iters: int = 2,
-    newton_iters: int = 10,
-    outer_rounds: int = 2,
+    warm_iters: int = 1,
+    newton_iters: int = 14,
+    outer_rounds: int = 3,
 ):
     """Continuation re-solve of one polar point from a donor state (a
-    converged neighbouring-alpha solution). Same merged-scalar contract as
-    ``solve_polar_point``; the cheap warm pass only feeds the fallback and
-    the interaction-operator extraction."""
+    converged neighbouring-alpha solution). Same contract as
+    ``solve_polar_point`` — (merged scalars, (newton_ok, state)) — so chain
+    steps can hand their state to the next point. The cheap warm pass only
+    feeds the fallback and the interaction-operator extraction."""
     with jax.default_matmul_precision("highest"):
-        res, fb, _state = _solve_viscous_newton_impl(
+        res, fb, state = _solve_viscous_newton_impl(
             op, alpha_deg, reynolds, n_crit, x_forced_transition,
             n_stations, n_wake, warm_iters, newton_iters, outer_rounds,
             init_state=(init_zz, init_xtr_u, init_xtr_l))
-    return _merge_point(res, fb)
+    return _merge_point(res, fb), (res.converged, state)
 
 
 def _solve_viscous_newton_impl(
@@ -740,10 +709,17 @@ def _solve_viscous_newton_impl(
             m_all[2 * m_s:])
         return jnp.concatenate([r_u, r_l, r_w])
 
-    zu0_, zl0_, zw0_ = _unpack(zz0, m_s, n_w)
-    m_warm = jnp.concatenate([jnp.exp(zu0_[:, 1]), jnp.exp(zl0_[:, 1]),
-                              jnp.exp(zw0_[:, 1])])
-    l_mat = jax.jacfwd(raws_of_m)(m_warm)
+    # Linearisation point for the interaction operator: the state the LM
+    # iteration actually starts from. For continuation solves that is the
+    # DONOR state (converged, smooth — the sigma-derivative clips inside
+    # raws_of_m are inactive there, making l_mat exact); the barely-settled
+    # cheap warm state of a cont solve would fire those clips on its noise
+    # spikes and corrupt whole Jacobian rows.
+    zz_lin = zz0 if init_state is None else init_state[0]
+    zu0_, zl0_, zw0_ = _unpack(zz_lin, m_s, n_w)
+    m_lin = jnp.concatenate([jnp.exp(zu0_[:, 1]), jnp.exp(zl0_[:, 1]),
+                             jnp.exp(zw0_[:, 1])])
+    l_mat = jax.jacfwd(raws_of_m)(m_lin)
 
     _SF_BETA = 60.0
 
@@ -827,35 +803,59 @@ def _solve_viscous_newton_impl(
         (zz, lam), _ = jax.lax.scan(lm_step, (zz, lam), None, length=iters)
         return zz, lam
 
-    def _front_update(xi, x, theta, dstar, ue, xtr_prev):
+    def _front_update(xi, x, ue, xtr_prev):
         """One outer update of a transition front.
 
-        The explicit n-integration is only valid over the laminar region
-        (upstream of the current front — downstream the converged fields
-        are turbulent and the envelope rate reads ~0 there). Three cases:
-        n crosses n_crit upstream of the front -> move there; n at the
-        front is short of n_crit -> advance the front by the deficit over
-        the local laminar rate; no front yet and no crossing -> stays
-        laminar to the TE.
+        The envelope factor is integrated over a LAMINAR CONTINUATION of
+        the current edge-velocity field: Thwaites' momentum estimate
+        (a parallel cumsum — no march) supplies theta/H along the whole
+        side, the e^N rate closure is evaluated on that laminar state, and
+        the n = n_crit crossing is interpolated. Integrating over the
+        *solved* fields instead is ill-posed downstream of the current
+        front (they are turbulent there, the envelope rate reads ~0, so n
+        plateaus and the front can only creep) — that creep left the front
+        wherever rounding pushed it, up to +-0.04 chord apart on the two
+        sides of a symmetric airfoil at alpha = 0. The laminar
+        continuation makes the crossing well-defined everywhere, so the
+        outer iteration has a rounding-stable fixed point.
         """
-        xtr_cand, n_cum = _amplification_crossing(
-            xi, x, theta, dstar, ue, nu, n_crit, x_forced_transition,
-            dtype)
-        theta_c = jnp.maximum(theta, 1e-10)
-        hk = jnp.clip(dstar / theta_c, 1.005, 12.0)
-        ret = jnp.maximum(ue * theta_c / nu, 1.0)
-        rate = cl.amplification_rate(hk, theta_c, ret)
-        # n and laminar rate at (just upstream of) the current front.
-        n_at = jnp.interp(jnp.minimum(xtr_prev, x[-1]), x, n_cum)
-        pre = x < (xtr_prev - _TR_WIDTH)
-        rate_at = jnp.max(jnp.where(pre, rate, 0.0))
-        advance = (n_crit - n_at) / jnp.maximum(rate_at, 1.0)
-        crossed_before = xtr_cand <= xtr_prev
-        xtr_new = jnp.where(
-            crossed_before, xtr_cand,
-            jnp.minimum(xtr_prev + advance, jnp.asarray(2.0, dtype)))
-        # Damped update; forced trip always wins.
-        xtr_new = 0.5 * (xtr_prev + xtr_new)
+        ue_c = jnp.maximum(ue, 0.02)
+        ds = jnp.maximum(xi[1:] - xi[:-1], 1e-8)
+        ue5 = ue_c**5
+        integ = jnp.concatenate([
+            jnp.zeros((1,), dtype),
+            jnp.cumsum(0.5 * (ue5[1:] + ue5[:-1]) * ds),
+        ])
+        theta2 = 0.45 * nu * integ / jnp.maximum(ue_c**6, 1e-12)
+        # Stagnation similarity floor (Thwaites gives 0.075 nu/K there).
+        k0 = jnp.maximum(ue_c[0] / jnp.maximum(xi[0], 1e-8), 1e-6)
+        theta2 = jnp.maximum(theta2, 0.075 * nu / k0)
+        theta = jnp.sqrt(theta2)
+        due_ds = jnp.gradient(ue_c) / jnp.maximum(jnp.gradient(xi), 1e-9)
+        lam = jnp.clip(theta2 / nu * due_ds, -0.12, 0.25)
+        # Cebeci-Bradshaw H(lambda) branches, capped at laminar separation.
+        hk = jnp.where(lam >= 0.0,
+                       2.61 - 3.75 * lam + 5.24 * lam * lam,
+                       2.088 + 0.0731 / (lam + 0.14))
+        hk = jnp.clip(hk, 1.5, cl.HK_LAM_MAX)
+        ret = jnp.maximum(ue_c * theta / nu, 1.0)
+        rate = cl.amplification_rate(hk, theta, ret)
+        n_cum = jnp.concatenate([
+            jnp.zeros((1,), dtype),
+            jnp.cumsum(0.5 * (rate[1:] + rate[:-1]) * ds),
+        ])
+        crossed = jnp.logical_and(n_cum[:-1] < n_crit, n_cum[1:] >= n_crit)
+        fracx = jnp.where(
+            crossed,
+            (n_crit - n_cum[:-1])
+            / jnp.maximum(n_cum[1:] - n_cum[:-1], 1e-6),
+            0.0)
+        xc = x[:-1] + fracx * (x[1:] - x[:-1])
+        any_c = jnp.any(crossed)
+        idx = jnp.argmax(crossed)
+        xtr_new = jnp.where(any_c, xc[idx], jnp.asarray(2.0, dtype))
+        # Light damping keeps the front/field leapfrog monotone.
+        xtr_new = 0.75 * xtr_new + 0.25 * xtr_prev
         if (isinstance(x_forced_transition, (int, float))
                 and x_forced_transition >= 1.0):
             return xtr_new
@@ -869,39 +869,25 @@ def _solve_viscous_newton_impl(
         m_w = jnp.exp(_zw[:, 1])
         ue_u, ue_l, _uw, _vt, _sb, _sw = _ue_from_m(
             op, wop, grid, vt0, m_u, m_l, m_w)
-        xtr_u = _front_update(grid.xi_u, grid.x_u, jnp.exp(zu[:, 0]),
-                              m_u / ue_u, ue_u, xtr_u_prev)
-        xtr_l = _front_update(grid.xi_l, grid.x_l, jnp.exp(zl[:, 0]),
-                              m_l / ue_l, ue_l, xtr_l_prev)
+        xtr_u = _front_update(grid.xi_u, grid.x_u, ue_u, xtr_u_prev)
+        xtr_l = _front_update(grid.xi_l, grid.x_l, ue_l, xtr_l_prev)
         return jax.lax.stop_gradient(xtr_u), jax.lax.stop_gradient(xtr_l)
 
-    def frozen_weights(zz, xtr_u, xtr_l):
-        """Per-round turbulence weights: the transition ramp plus the
-        bubble override — a laminar layer separating past Hk ~ HK_LAM_MAX
-        transitions immediately (the separated shear layer amplifies
-        within a fraction of a percent of chord). Both parts are FROZEN
-        from the round-start state: any live w(state) coupling inside the
-        residual bistabilizes the system (bubble <-> no-bubble branches)
-        and f32 rounding then picks the basin."""
-        zu, zl, zw_ = _unpack(zz, m_s, n_w)
-        m_u = jnp.exp(zu[:, 1])
-        m_l = jnp.exp(zl[:, 1])
-        ue_u, ue_l, _uw, _vt, _sb, _sw = _ue_from_m(
-            op, wop, grid, vt0, m_u, m_l, jnp.exp(zw_[:, 1]))
-
-        def one(z, ue, x, xtr):
-            hk = jnp.clip((jnp.exp(z[:, 1]) / ue)
-                          / jnp.maximum(jnp.exp(z[:, 0]), 1e-10),
-                          1.005, 12.0)
-            w = jnp.maximum(_w_ramp(x, xtr),
-                            jax.nn.sigmoid(3.0 * (hk - cl.HK_LAM_MAX)))
-            # Turbulence is irreversible along the strip: once the ramp or
-            # the bubble trigger fires, everything downstream stays
-            # turbulent (a separated spot must not relaminarise mid-strip).
-            return jax.lax.stop_gradient(jax.lax.cummax(w, axis=0))
-
-        return (one(zu, ue_u, grid.x_u, xtr_u),
-                one(zl, ue_l, grid.x_l, xtr_l))
+    def frozen_weights(xtr_u, xtr_l):
+        """Per-round turbulence weights: the transition ramp, FROZEN at the
+        round-start front. The ramp position is the ONLY source of
+        turbulence: a state-dependent bubble trigger (w escalating wherever
+        the iterate's Hk spikes past HK_LAM_MAX) is a live w(state)
+        coupling that re-freezes a different turbulence pattern every
+        round — spurious mid-chord bubble states then self-reinforce (the
+        locked-in thick spot keeps its own trigger alive) and a fine alpha
+        sweep picks up 10-30% CD scatter from basin hopping. Laminar
+        separation still forces transition, but through the FRONT: the
+        Thwaites continuation in _front_update caps Hk at the separation
+        value, the envelope rate explodes there, and the n = n_crit
+        crossing lands just downstream of the separation point."""
+        return (jax.lax.cummax(_w_ramp(grid.x_u, xtr_u), axis=0),
+                jax.lax.cummax(_w_ramp(grid.x_l, xtr_l), axis=0))
 
     # Outer rounds: freeze the transition ramp, converge the simultaneous
     # system, re-locate the front from the converged fields, repeat. The
@@ -918,12 +904,12 @@ def _solve_viscous_newton_impl(
         # the state transfers index-wise.
         zz, xtr_u, xtr_l = init_state
     for _ in range(outer_rounds):
-        w_u, w_l = frozen_weights(zz, xtr_u, xtr_l)
+        w_u, w_l = frozen_weights(xtr_u, xtr_l)
         zz, lam = run_lm(make_res(w_u, w_l), make_jac(w_u, w_l), zz,
                          jnp.maximum(lam, 1e-4), newton_iters)
         xtr_u, xtr_l = fronts_from(zz, xtr_u, xtr_l)
 
-    w_u, w_l = frozen_weights(zz, xtr_u, xtr_l)
+    w_u, w_l = frozen_weights(xtr_u, xtr_l)
     rms = _rms(make_res(w_u, w_l)(zz))
 
     # ── extract the solution ────────────────────────────────────────────
@@ -1006,12 +992,17 @@ def _solve_viscous_newton_impl(
     th_chk = bl_chk.theta[0, -1] + bl_chk.theta[1, -1]
     th_sys = jnp.exp(zu[-1, 0]) + jnp.exp(zl[-1, 0])
     ratio = th_chk / jnp.maximum(th_sys, 1e-10)
-    # The oracle only applies to attached solutions: the march's Hk caps
-    # cannot reproduce a genuinely separated TE region, so there the
-    # simultaneous system is the better truth and the other gates decide.
-    march_consistent = jnp.logical_or(
-        jnp.logical_and(ratio > 0.6, ratio < 1.6),
-        sep_fraction > 0.02)
+    # The oracle's two directions are NOT symmetric. ratio >> 1 (march
+    # grows a much thicker layer than the system claims) marks the
+    # spurious near-inviscid thin-BL branch — always reject; a
+    # continuation chain that hands one such state forward otherwise walks
+    # a whole smoothly-wrong polar tail (CD ~ half physical at post-stall
+    # alphas). ratio << 1 can be legitimate: the march's Hk caps cannot
+    # reproduce a genuinely separated TE region, so there the simultaneous
+    # system is the better truth and the separation gate decides.
+    march_consistent = jnp.logical_and(
+        ratio < 1.6,
+        jnp.logical_or(ratio > 0.6, sep_fraction > 0.02))
 
     converged = (finite & (rms < 0.035) & (sep_fraction < 0.25)
                  & cl_sane & cd_sane & march_consistent)

@@ -99,8 +99,12 @@ class TestPolarPoint:
             solve_polar_point, solve_polar_point_cont)
 
         (_out, (_nok, state)) = solve_polar_point(op2412, 2.0, 1e6)
-        out8 = solve_polar_point_cont(op2412, 3.0, 1e6, *state)
+        out8, (nok_c, state_c) = solve_polar_point_cont(
+            op2412, 3.0, 1e6, *state)
         cl = float(out8[0])
         assert np.isfinite(cl)
         # One degree up from the donor: lift must increase sensibly.
         assert 0.3 < cl < 1.0
+        # The continuation hands its own state forward for chain walks.
+        zz, xu, xl = state_c
+        assert zz.shape == state[0].shape
