@@ -84,15 +84,24 @@ def _station_closures(theta, dstar, ue, nu, ctau, w, wake_mask):
     hk = jnp.clip(dstar / theta, 1.005, 12.0)
     ret = jnp.maximum(ue * theta / nu, 1.0)
 
-    hs_l = cl.lam_hstar(hk)
+    # The laminar correlations are only valid up to the separated-shear
+    # value HK_LAM_MAX; past it they extrapolate wildly and a station in
+    # the transition ramp (where the laminar weight is still ~0.5 but the
+    # iterate's Hk can spike to 10+) turns into a nonphysical delta* blob
+    # that locks in. Saturate the laminar branch there — the march's
+    # laminar step applies the same cap (march.py Hk cap). The turbulent
+    # branch keeps the full range: separated-TE decambering lives at
+    # Hk 4-12 and must stay representable.
+    hk_l = jnp.minimum(hk, cl.HK_LAM_MAX)
+    hs_l = cl.lam_hstar(hk_l)
     hs_t = cl.turb_hstar(hk, ret)
     hs = (1.0 - w) * hs_l + w * hs_t
 
-    cf_l = cl.lam_cf(hk, ret)
+    cf_l = cl.lam_cf(hk_l, ret)
     cf_t = cl.turb_cf(hk, ret)
     cf = (1.0 - w) * cf_l + w * cf_t
 
-    cd_l = cl.lam_diss(hk, ret, hs_l)
+    cd_l = cl.lam_diss(hk_l, ret, hs_l)
     cd_t = cl.turb_diss(hk, ret, ctau, hs_t)
     cd = (1.0 - w) * cd_l + w * cd_t
 
@@ -803,7 +812,7 @@ def _solve_viscous_newton_impl(
         (zz, lam), _ = jax.lax.scan(lm_step, (zz, lam), None, length=iters)
         return zz, lam
 
-    def _front_update(xi, x, ue, xtr_prev):
+    def _front_update(xi, x, ue, z_side, xtr_prev):
         """One outer update of a transition front.
 
         The envelope factor is integrated over a LAMINAR CONTINUATION of
@@ -818,6 +827,16 @@ def _solve_viscous_newton_impl(
         sides of a symmetric airfoil at alpha = 0. The laminar
         continuation makes the crossing well-defined everywhere, so the
         outer iteration has a rounding-stable fixed point.
+
+        UPSTREAM of the current front, though, the system's own laminar
+        state is the better amplification input: its H carries the
+        non-equilibrium lag of the KE equation, which in the steep
+        post-suction-peak deceleration runs well ABOVE Thwaites'
+        equilibrium H(lambda) — pure-Thwaites rates there put transition
+        up to 0.05c aft of what a laminar march of the same field gives
+        (worst at high alpha, where that thins the TE layer and fakes an
+        attached thin branch). Blend: system-state rate where the system
+        is laminar, Thwaites continuation beyond the front.
         """
         ue_c = jnp.maximum(ue, 0.02)
         ds = jnp.maximum(xi[1:] - xi[:-1], 1e-8)
@@ -840,6 +859,14 @@ def _solve_viscous_newton_impl(
         hk = jnp.clip(hk, 1.5, cl.HK_LAM_MAX)
         ret = jnp.maximum(ue_c * theta / nu, 1.0)
         rate = cl.amplification_rate(hk, theta, ret)
+        th_sys = jnp.exp(z_side[:, 0])
+        hk_sys = jnp.clip((jnp.exp(z_side[:, 1]) / ue_c)
+                          / jnp.maximum(th_sys, 1e-10),
+                          1.5, cl.HK_LAM_MAX)
+        ret_sys = jnp.maximum(ue_c * th_sys / nu, 1.0)
+        rate_sys = cl.amplification_rate(hk_sys, th_sys, ret_sys)
+        upstream = x < (xtr_prev - _TR_WIDTH)
+        rate = jnp.where(upstream, rate_sys, rate)
         n_cum = jnp.concatenate([
             jnp.zeros((1,), dtype),
             jnp.cumsum(0.5 * (rate[1:] + rate[:-1]) * ds),
@@ -869,8 +896,8 @@ def _solve_viscous_newton_impl(
         m_w = jnp.exp(_zw[:, 1])
         ue_u, ue_l, _uw, _vt, _sb, _sw = _ue_from_m(
             op, wop, grid, vt0, m_u, m_l, m_w)
-        xtr_u = _front_update(grid.xi_u, grid.x_u, ue_u, xtr_u_prev)
-        xtr_l = _front_update(grid.xi_l, grid.x_l, ue_l, xtr_l_prev)
+        xtr_u = _front_update(grid.xi_u, grid.x_u, ue_u, zu, xtr_u_prev)
+        xtr_l = _front_update(grid.xi_l, grid.x_l, ue_l, zl, xtr_l_prev)
         return jax.lax.stop_gradient(xtr_u), jax.lax.stop_gradient(xtr_l)
 
     def frozen_weights(xtr_u, xtr_l):
