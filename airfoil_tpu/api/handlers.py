@@ -107,6 +107,19 @@ def handle_upload(filename: str, content: bytes,
     logger.info("request %s done in %.3fs (mode=%s strategy=%d)",
                 run_id, time.perf_counter() - t0, result.mode,
                 result.strategy)
+    # Result-sanity warnings (reference main.py:499-502 logs the same two
+    # checks): a viscous CD below the flat-plate floor at this Re, or an
+    # implausibly high L/D, usually means a wrong-basin solve slipped
+    # through the convergence gates — flag it in the server log.
+    c = result.coefficients
+    cd_v = c.get("CD") or 0.0
+    cl_v = c.get("CL") or 0.0
+    if result.mode == "viscous" and reynolds > 1e5 and 0 < cd_v < 0.005:
+        logger.warning("request %s: CD=%.6f suspiciously low "
+                       "(expected ~0.007-0.012 at this Re)", run_id, cd_v)
+    if cd_v > 0 and abs(cl_v) / cd_v > 150:
+        logger.warning("request %s: L/D=%.0f unusually high",
+                       run_id, abs(cl_v) / cd_v)
     increment_analysis_count()
     return 200, {
         "success": True,

@@ -9,6 +9,15 @@ reference's result data (benchmark/repair_classification.csv aggregates:
 failure-class tail of multi-element / non-monotone / extreme-geometry
 files). Point a real UIUC directory at the benchmark CLI to run on the
 genuine database instead.
+
+The GEOMETRY population deliberately goes beyond clean NACA4 sections —
+the classes the reference actually struggled with are hard shapes, not
+hard formatting: 6-series-style sections with a = 0.8 loading and closed
+trailing edges, reflexed camber lines, blunt/thick trailing edges,
+high-camber low-Re sections, very thick and very thin sections, kinked
+flap-like camber, and digitisation noise at the magnitudes real UIUC
+scans carry (up to ~1e-3 of chord), all at real point densities (many
+UIUC files have 25-61 points/side, not 160).
 """
 
 from __future__ import annotations
@@ -28,64 +37,188 @@ def _selig_lines(coords, header=None, fmt="{:.6f} {:.6f}"):
     return lines
 
 
-def _lednicer_lines(coords, header="LEDNICER STYLE", dup_le=True):
-    """Two LE->TE sections with point counts, UIUC Lednicer style."""
+def _lednicer_lines(coords, header="LEDNICER STYLE", dup_le=True,
+                    counts_style=" {nu}.  {nl}.", sep="  "):
+    """Two LE->TE sections with point counts, UIUC Lednicer style.
+
+    ``counts_style``/``sep`` reproduce real formatting variation: integer
+    vs float counts, tabs vs spaces, varying blank-line placement.
+    """
     le = int(np.argmin(coords[:, 0]))
     upper = coords[: le + 1][::-1]
     lower = coords[le:] if dup_le else coords[le + 1:]
-    lines = [header, "", f" {len(upper)}.  {len(lower)}.", ""]
-    lines += [f" {x:.5f}  {y:.5f}" for x, y in upper]
+    lines = [header, "",
+             counts_style.format(nu=len(upper), nl=len(lower)), ""]
+    lines += [f" {x:.5f}{sep}{y:.5f}" for x, y in upper]
     lines.append("")
-    lines += [f" {x:.5f}  {y:.5f}" for x, y in lower]
+    lines += [f" {x:.5f}{sep}{y:.5f}" for x, y in lower]
     return lines
+
+
+# ── hard geometry families ──────────────────────────────────────────────
+
+
+def _camber_a08(x, cli):
+    """NACA 6-series style a = 0.8 mean line (simplified Abbott-von
+    Doenhoff form), design lift coefficient ``cli``."""
+    a = 0.8
+    x = np.clip(x, 1e-6, 1.0 - 1e-6)
+    g = -(a * a * (0.5 * np.log(a) - 0.25) + 0.25) / (1.0 - a)
+    h = g - (0.5 * (1.0 - a) ** 2 * np.log(1.0 - a)
+             - 0.25 * (1.0 - a) ** 2) / (1.0 - a)
+    t1 = 0.5 * (a - x) ** 2 * np.log(np.abs(a - x) + 1e-9)
+    t2 = 0.5 * (1.0 - x) ** 2 * np.log(1.0 - x)
+    t3 = 0.25 * (1.0 - x) ** 2 - 0.25 * (a - x) ** 2
+    yc = (cli / (2.0 * np.pi * (a + 1.0))) * (
+        (t1 - t2 + t3) / (1.0 - a) - x * np.log(x) + g - h * x)
+    return yc
+
+
+def _reflex_camber(x, m, xr=0.75):
+    """Reflexed mean line: positive forward camber, negative aft."""
+    fwd = m * (x / xr) ** 2 * (3.0 - 2.0 * (x / xr))
+    aft = m * (1.0 - ((x - xr) / (1.0 - xr)) ** 2 * 1.8)
+    return np.where(x < xr, fwd, np.maximum(aft, -0.4 * m))
+
+
+def _thickness4(x, t):
+    return 5.0 * t * (0.2969 * np.sqrt(x) - 0.1260 * x - 0.3516 * x**2
+                      + 0.2843 * x**3 - 0.1036 * x**4)
+
+
+def _section(x, yc, yt, close_te=False, te_gap=0.0):
+    """Assemble a Selig loop from camber + thickness samples."""
+    if close_te:
+        yt = yt - x * yt[-1]
+    if te_gap > 0.0:
+        yt = yt + 0.5 * te_gap * x
+    up = np.stack([x, yc + yt], axis=1)[::-1]
+    lo = np.stack([x, yc - yt], axis=1)
+    return np.vstack([up, lo[1:]])
+
+
+def _hard_geometry(rng):
+    """Sample one geometry from the hard-family mix; returns (coords,
+    family-tag)."""
+    n = int(rng.integers(24, 62))
+    beta = np.pi * np.arange(n + 1) / n
+    x = 0.5 * (1.0 - np.cos(beta))
+    u = rng.random()
+    if u < 0.25:                                   # 6-series style
+        t = rng.uniform(0.08, 0.21)
+        cli = rng.uniform(0.0, 0.6)
+        coords = _section(x, _camber_a08(x, cli), _thickness4(x, t),
+                          close_te=True)
+        tag = "six_series"
+    elif u < 0.40:                                 # reflexed
+        t = rng.uniform(0.08, 0.16)
+        m = rng.uniform(0.01, 0.05)
+        coords = _section(x, _reflex_camber(x, m), _thickness4(x, t))
+        tag = "reflexed"
+    elif u < 0.55:                                 # thick blunt TE
+        t = rng.uniform(0.10, 0.24)
+        mm = rng.uniform(0, 4)
+        pp = rng.uniform(2, 6)
+        base = naca4(mm, pp, 100 * t, n)
+        base[0, 1] += rng.uniform(0.004, 0.012)    # open the TE
+        base[-1, 1] -= rng.uniform(0.004, 0.012)
+        coords = base
+        tag = "thick_te"
+    elif u < 0.70:                                 # high camber low-Re
+        t = rng.uniform(0.06, 0.12)
+        m = rng.uniform(0.06, 0.11)
+        p = rng.uniform(0.3, 0.55)
+        yc = np.where(x < p, m / p**2 * (2 * p * x - x**2),
+                      m / (1 - p) ** 2 * ((1 - 2 * p) + 2 * p * x - x**2))
+        coords = _section(x, yc, _thickness4(x, t))
+        tag = "high_camber"
+    elif u < 0.82:                                 # extreme thickness
+        thin = rng.random() < 0.5
+        t = rng.uniform(0.035, 0.055) if thin else rng.uniform(0.25, 0.36)
+        coords = _section(x, np.zeros_like(x), _thickness4(x, t))
+        tag = "very_thin" if thin else "very_thick"
+    else:                                          # kinked flap-like
+        t = rng.uniform(0.08, 0.15)
+        m = rng.uniform(0.01, 0.04)
+        xh = rng.uniform(0.6, 0.8)
+        d = rng.uniform(0.03, 0.10)
+        yc = m * 4.0 * x * (1.0 - x) - np.where(
+            x > xh, d * (x - xh) / (1.0 - xh) * (x - xh), 0.0)
+        coords = _section(x, yc, _thickness4(x, t))
+        tag = "kinked"
+    return coords, tag
 
 
 def generate_corpus(out_dir: str, n: int = 200, seed: int = 0) -> list[str]:
     """Write ``n`` synthetic .dat files; returns the file paths.
 
-    Population (matching the reference's observed class mix, scaled):
-    ~55% Lednicer with headers (the dominant UIUC class), ~20% clean
-    Selig, ~10% Selig with noise/headers/stray points, ~5% reversed
-    winding, ~4% closed-TE 6-series style, ~3% multi-element, ~3%
-    degenerate (too few points / non-monotone).
+    Formatting population (matching the reference's observed class mix,
+    scaled): ~50% Lednicer with real formatting variation, ~20% clean
+    Selig, ~12% Selig with digitisation noise/headers/stray points, ~5%
+    reversed winding, ~5% closed-TE, ~4% multi-element, ~4% degenerate
+    (too few points / non-monotone). Geometry alternates between NACA4
+    variants and the hard families above.
     """
     rng = np.random.default_rng(seed)
     os.makedirs(out_dir, exist_ok=True)
     paths = []
     for i in range(n):
-        m = rng.uniform(0, 6)
-        p = rng.uniform(2, 6)
-        t = rng.uniform(6, 21)
-        npt = int(rng.integers(25, 80))
-        coords = naca4(m, p, t, npt)
-        u = rng.random()
         name = f"af{i:04d}"
-        if u < 0.55:
-            lines = _lednicer_lines(coords, header=f"{name.upper()} AIRFOIL")
+        if rng.random() < 0.45:
+            m = rng.uniform(0, 6)
+            p = rng.uniform(2, 6)
+            t = rng.uniform(6, 21)
+            npt = int(rng.integers(25, 80))
+            coords = naca4(m, p, t, npt)
+            geo = "naca4"
+        else:
+            coords, geo = _hard_geometry(rng)
+
+        # Digitisation noise at real scan magnitudes on a subset.
+        if rng.random() < 0.30:
+            coords = coords.copy()
+            coords[:, 1] += rng.normal(0, rng.uniform(1e-4, 8e-4),
+                                       len(coords))
+
+        u = rng.random()
+        if u < 0.50:
+            style = rng.random()
+            counts = (" {nu}.  {nl}." if style < 0.5 else
+                      "{nu} {nl}" if style < 0.75 else "  {nu}.0 {nl}.0")
+            sep = "\t" if rng.random() < 0.2 else "  "
+            header = (f"NACA 64(3)-{int(rng.integers(100, 999))}"
+                      if rng.random() < 0.3 else f"{name.upper()} AIRFOIL")
+            lines = _lednicer_lines(coords, header=header,
+                                    dup_le=rng.random() < 0.7,
+                                    counts_style=counts, sep=sep)
             kind = "lednicer"
-        elif u < 0.75:
+        elif u < 0.70:
             lines = _selig_lines(coords, header=f"{name} section")
             kind = "selig"
-        elif u < 0.85:
+        elif u < 0.82:
             noisy = coords.copy()
             noisy[:, 1] += rng.normal(0, 2e-4, len(noisy))
             lines = _selig_lines(noisy, header=f"{name} (noisy)")
             lines.insert(1, "# comment line")
             lines.append(f"{rng.uniform(5, 9):.3f} {rng.uniform(2, 4):.3f}")
             kind = "noisy"
-        elif u < 0.90:
+        elif u < 0.87:
             lines = _selig_lines(coords[::-1], header=f"{name} reversed")
             kind = "reversed"
-        elif u < 0.94:
+        elif u < 0.92:
             closed = np.vstack([coords, coords[:1]])
             closed[0, 1] = closed[-1, 1] = 0.0
             closed[0, 0] = closed[-1, 0] = 1.0
             lines = _selig_lines(closed, header=f"{name} closed TE")
             kind = "closed_te"
-        elif u < 0.97:
+        elif u < 0.96:
             flap = coords * 0.35 + np.array([1.05, -0.05])
-            lines = _selig_lines(np.vstack([coords, flap]),
-                                 header=f"{name} two-element")
+            parts = [coords, flap]
+            if rng.random() < 0.3:
+                slat = coords * 0.15 + np.array([-0.17, -0.02])
+                parts.insert(0, slat)
+            lines = _selig_lines(np.vstack(parts),
+                                 header=f"{name} multi-element")
             kind = "multi"
         else:
             if rng.random() < 0.5:
@@ -96,7 +229,7 @@ def generate_corpus(out_dir: str, n: int = 200, seed: int = 0) -> list[str]:
                 rng.shuffle(shuffled[5:-5])
                 lines = _selig_lines(shuffled, header=f"{name} scrambled")
                 kind = "non_monotone"
-        path = os.path.join(out_dir, f"{name}_{kind}.dat")
+        path = os.path.join(out_dir, f"{name}_{geo}_{kind}.dat")
         with open(path, "w") as f:
             f.write("\n".join(lines) + "\n")
         paths.append(path)

@@ -105,12 +105,12 @@ with st.sidebar:
     reynolds = st.number_input("Reynolds number", 1e4, 1e7,
                                RE_PRESETS[preset], step=1e4, format="%.0f")
     if mode == "α sweep (polar)":
-        a_lo, a_hi = st.slider("α range (deg)", -10.0, 20.0, (-4.0, 12.0),
+        a_lo, a_hi = st.slider("α range (deg)", -20.0, 20.0, (-4.0, 12.0),
                                step=0.5)
         a_step = st.select_slider("α step", [0.25, 0.5, 1.0, 2.0], value=1.0)
         alpha = None
     else:
-        alpha = st.slider("Angle of attack α (deg)", -10.0, 20.0, 5.0,
+        alpha = st.slider("Angle of attack α (deg)", -20.0, 20.0, 5.0,
                           step=0.5)
 
 if mode == "Batch files":
@@ -169,7 +169,7 @@ def cp_figure(cp_x, cp_values):
     return fig
 
 
-def coefficient_row(c):
+def coefficient_row(c, alpha=None):
     cl = c.get("CL", 0.0)
     cd = c.get("CD", 0.0)
     cm = c.get("Cm", 0.0)
@@ -185,6 +185,10 @@ def coefficient_row(c):
                    + c.get("warning", ""))
     if cl < -0.05:
         st.info("Negative lift — this configuration produces downforce.")
+    elif (alpha is not None and abs(alpha) >= 12
+            and (cd > 0.15 or (np.isfinite(ld) and ld < 5))):
+        st.error("Possible stall condition — high drag and low L/D "
+                 "suggest flow separation.")
 
 
 def bl_section(bl):
@@ -208,6 +212,48 @@ def bl_section(bl):
                 fig.update_layout(height=220, title=f"{side} surface",
                                   margin=dict(l=10, r=10, t=30, b=10))
                 st.plotly_chart(fig, use_container_width=True)
+
+
+def polar_png_downloads(df, filename, reynolds):
+    """Publication-style PNG exports of the polar charts (reference
+    pages/Airfoil_Analysis.py:1090-1141 offers the same five downloads;
+    rendered headless with the Agg backend)."""
+    import io as _io
+
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception as e:          # pragma: no cover - matplotlib absent
+        st.caption(f"PNG export unavailable: {e}")
+        return
+    ok = df[(df.get("mode", 0) != 2) & np.isfinite(df.CL)]
+    if len(ok) < 2:
+        return
+    st.subheader("📈 Download polar plots")
+    label = os.path.splitext(filename)[0]
+    plots = {
+        "CL_vs_alpha": (ok.alpha, ok.CL, "α (deg)", "CL"),
+        "CD_vs_alpha": (ok.alpha, ok.CD, "α (deg)", "CD"),
+        "Cm_vs_alpha": (ok.alpha, ok.Cm, "α (deg)", "Cm"),
+        "drag_polar": (ok.CD, ok.CL, "CD", "CL"),
+        "LD_vs_alpha": (ok.alpha, ok["L/D"], "α (deg)", "L/D"),
+    }
+    cols = st.columns(len(plots))
+    for col, (tag, (xs, ys, xl, yl)) in zip(cols, plots.items()):
+        fig, ax = plt.subplots(figsize=(6, 4), dpi=150)
+        ax.plot(xs, ys, "o-", lw=1.8, ms=4)
+        ax.set_xlabel(xl)
+        ax.set_ylabel(yl)
+        ax.set_title(f"{label}  Re={reynolds:,.0f}")
+        ax.grid(alpha=0.4, ls="--")
+        fig.tight_layout()
+        buf = _io.BytesIO()
+        fig.savefig(buf, format="png")
+        plt.close(fig)
+        col.download_button(f"⬇️ {yl} plot", buf.getvalue(),
+                            file_name=f"{label}_{tag}.png",
+                            mime="image/png", key=f"dl_{tag}")
 
 
 def parser_fixes_box(fixes):
@@ -252,7 +298,7 @@ if mode == "Single point" and files:
         if code != 200:
             st.error(res.get("detail", "analysis failed"))
         else:
-            coefficient_row(res["coefficients"])
+            coefficient_row(res["coefficients"], alpha=alpha)
             parser_fixes_box(res.get("parser_fixes"))
             c1, c2 = st.columns(2)
             with c1:
@@ -316,6 +362,7 @@ elif mode == "α sweep (polar)" and files:
             cols = st.columns(2)
             for i, fig in enumerate(figs):
                 cols[i % 2].plotly_chart(fig, use_container_width=True)
+            polar_png_downloads(df, f.name, reynolds)
 
 # ── batch: ONE request, one vmapped dispatch over geometries ───────────────
 elif mode == "Batch files" and files:
