@@ -44,19 +44,28 @@ _DIGITS = {"naca0012": (0, 0, 12), "naca2412": (2, 4, 12),
            "naca4412": (4, 4, 12)}
 
 
-def _solve(name: str, re_: float, alpha: float):
-    from airfoil_tpu.inviscid import build_operator
-    from airfoil_tpu.models import naca4
-    from airfoil_tpu.paneling import panel_geometry, repanel
-    from airfoil_tpu.viscous import solve_viscous
-    from airfoil_tpu.viscous.newton import solve_viscous_newton
+def _solve_polar_points(name: str, re_: float, alphas):
+    """Solve the anchor points through the PRODUCT path: a full polar via
+    ``solve_polar``, whose continuation walk audits each point against the
+    local trend and re-solves wrong-basin outliers — the accuracy the API
+    actually serves. Bare per-point solves land on a knife edge between
+    basins on some anchors; the polar machinery exists to settle that.
+    """
+    import numpy as _np
 
-    xp, yp = repanel(naca4(*_DIGITS[name], 100), 160)
-    op = build_operator(panel_geometry(xp, yp))
-    r = solve_viscous_newton(op, alpha, re_)
-    if not bool(r.converged):
-        r = solve_viscous(op, alpha, re_)
-    return float(r.cl), float(r.cd), bool(r.converged)
+    from airfoil_tpu.models import naca4
+    from airfoil_tpu.polar.sweep import MODE_VISCOUS, solve_polar
+
+    grid = sorted(set(_np.arange(-2.0, 9.01, 0.5).tolist())
+                  | {float(a) for a in alphas})
+    res = solve_polar(_np.asarray(naca4(*_DIGITS[name], 100), _np.float32),
+                      _np.asarray(grid, _np.float32), re_)
+    out = {}
+    for a in alphas:
+        i = int(_np.argmin(_np.abs(_np.asarray(grid) - a)))
+        out[a] = (float(res.cl[i]), float(res.cd[i]),
+                  int(res.mode[i]) == MODE_VISCOUS)
+    return out
 
 
 def _xfoil_truth(name: str, re_: float, alpha: float):
@@ -80,12 +89,19 @@ def _xfoil_truth(name: str, re_: float, alpha: float):
 def run_parity(use_live_xfoil: bool = True) -> dict:
     points = []
     live_used = False
+    groups = {}
+    for (name, re_, alpha) in PUBLISHED_ANCHORS:
+        groups.setdefault((name, re_), []).append(alpha)
+    solved = {
+        key: _solve_polar_points(key[0], key[1], alphas)
+        for key, alphas in groups.items()
+    }
     for (name, re_, alpha), published in PUBLISHED_ANCHORS.items():
         truth = _xfoil_truth(name, re_, alpha) if use_live_xfoil else None
         source = "xfoil_binary" if truth else "published_table"
         live_used = live_used or truth is not None
         cl_ref, cd_ref = truth if truth else published
-        cl, cd, converged = _solve(name, re_, alpha)
+        cl, cd, converged = solved[(name, re_)][alpha]
         cl_dev = (100 * (cl - cl_ref) / abs(cl_ref)
                   if abs(cl_ref) > 0.02 else None)
         cd_dev = 100 * (cd - cd_ref) / cd_ref if cd_ref else None

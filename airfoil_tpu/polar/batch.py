@@ -41,7 +41,7 @@ def _batch_kernel(coords_b, alpha, reynolds, n_panels=160):
         xp, yp = repanel(coords, n_panels)
         op = build_operator(panel_geometry(xp, yp))
         out, _extra = solve_polar_point(op, alpha, reynolds,
-                                        n_stations=64)
+                                        n_stations=96)
         return out
 
     return jax.vmap(one)(coords_b)

@@ -98,8 +98,14 @@ def amplification_rate(hk, theta, ret):
     m = (0.058 * (hk - 4.0) ** 2 / hk1 - 0.068) / ell
     rate = dn_dret * 0.5 * (m + 1.0) * ell / theta
 
-    # Smooth onset gate around Re_theta_crit.
-    gate = 0.5 * (1.0 + jnp.tanh(5.0 * (jnp.log10(ret) - log10_retc)))
+    # Onset gate: zero below Re_theta_crit, smoothstep 0->1 over the
+    # 0.16 decades just above it (XFOIL's RNORM ramp). A symmetric tanh
+    # centred ON the critical value leaks ~quarter-rate well below
+    # critical, which in long slow-growth regions (0012-class mild
+    # recoveries, where Re_theta hovers near critical for half the chord)
+    # accumulated enough spurious n to put transition ~0.13c early.
+    s = jnp.clip((jnp.log10(ret) - log10_retc) / 0.16, 0.0, 1.0)
+    gate = s * s * (3.0 - 2.0 * s)
     return rate * gate
 
 

@@ -172,7 +172,7 @@ def march_side(
     theta0, dstar0 = stagnation_ic(s[0], ue[0], nu)
 
     def scan_step(carry, inp):
-        t1, d1, a1, turb1, xtr, tripped = carry
+        t1, d1, a1, turb1, xtr, tripped, lam_sep1 = carry
         s1, ue1, x1, s2, ue2, x2 = inp
 
         # Transition trigger at interval start: free (amplification) or trip.
@@ -244,6 +244,25 @@ def march_side(
         hk2_raw = d2 / jnp.maximum(t2, 1e-10)
         sep = hk2_raw > hk_cap
         d2 = jnp.where(sep, hk_cap * t2, d2)
+        # Sticky laminar separation: a separated laminar shear layer does
+        # not reattach before transition. Without the pin the next
+        # station's Newton can fall back onto an attached laminar root and
+        # the march oscillates around the separation point; the envelope
+        # integral then creeps and short-bubble transition (the
+        # low-Reynolds regime, e.g. Re ~ 2e5) never fires. Pinning Hk at
+        # the cap keeps the separated-shear amplification rate active, so
+        # n crosses n_crit within a few percent chord of separation — the
+        # classical short-bubble transition criterion.
+        # Trigger at the physical laminar-separation shape factor (Cf
+        # crosses zero near Hk ~ 4.0 in the Falkner-Skan fit), not at the
+        # numerical cap — the oscillating march may never reach the cap.
+        lam_sep_now = jnp.logical_and(jnp.logical_not(turb2),
+                                      hk2_raw > 4.05)
+        lam_sep2 = jnp.logical_and(jnp.logical_not(turb2),
+                                   jnp.logical_or(lam_sep1, lam_sep_now))
+        d2 = jnp.where(lam_sep2,
+                       jnp.maximum(d2, cl.HK_LAM_MAX * t2), d2)
+        sep = jnp.logical_or(sep, lam_sep2)
         a2 = jnp.where(turb2, jnp.clip(a2, -18.0, -1.0),
                        jnp.clip(a2, 0.0, 30.0))
         # Laminar amplification is integrated EXPLICITLY from the solved
@@ -271,12 +290,14 @@ def march_side(
                jnp.where(turb2, jnp.nan, a2),
                jnp.where(turb2, ctau2, jnp.nan),
                turb2, sep)
-        return (t2, d2, a2, turb2, xtr_new, tripped2), out
+        return (t2, d2, a2, turb2, xtr_new, tripped2, lam_sep2), out
 
     inputs = (s[:-1], ue[:-1], x[:-1], s[1:], ue[1:], x[1:])
     init = (theta0, dstar0, jnp.zeros_like(theta0),
-            jnp.array(False), jnp.asarray(x[-1], s.dtype), jnp.array(False))
-    (tf, df, af, turbf, xtr, _), outs = jax.lax.scan(scan_step, init, inputs)
+            jnp.array(False), jnp.asarray(x[-1], s.dtype), jnp.array(False),
+            jnp.array(False))
+    (tf, df, af, turbf, xtr, _, _), outs = jax.lax.scan(
+        scan_step, init, inputs)
 
     theta_a, dstar_a, hk_a, cf_a, amp_a, ctau_a, turb_a, sep_a = outs
 

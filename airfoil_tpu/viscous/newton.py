@@ -585,7 +585,7 @@ def solve_polar_point(
     reynolds,
     n_crit: float = 9.0,
     x_forced_transition: float = 1.0,
-    n_stations: int = 64,
+    n_stations: int = 96,
     n_wake: int = 20,
     warm_iters: int = 8,
     newton_iters: int = 8,
@@ -628,7 +628,7 @@ def solve_polar_point_cont(
     init_xtr_l,
     n_crit: float = 9.0,
     x_forced_transition: float = 1.0,
-    n_stations: int = 64,
+    n_stations: int = 96,
     n_wake: int = 20,
     warm_iters: int = 1,
     newton_iters: int = 14,
@@ -682,13 +682,9 @@ def _solve_viscous_newton_impl(
                  x_l=x_l, y_l=y_l, s_q_u=s_q_u, s_q_l=s_q_l, s0=s0,
                  te_gap=te_gap)
 
-    zz0, xtr_u_march, xtr_l_march, warm_state = _warm_start(
+    zz0, _xtr_u_march, _xtr_l_march, warm_state = _warm_start(
         op, wop, grid, vt0, nu, n_crit, x_forced_transition, m_s, n_w,
         warm_iters)
-
-    def make_res(w_u, w_l):
-        return partial(_residual, w_u=w_u, w_l=w_l, op=op, wop=wop,
-                       grid=grid, vt0=vt0, nu=nu, m_s=m_s, n_w=n_w)
 
     def _rms(r):
         r = jnp.where(jnp.isfinite(r), r, 1e6)
@@ -812,131 +808,84 @@ def _solve_viscous_newton_impl(
         (zz, lam), _ = jax.lax.scan(lm_step, (zz, lam), None, length=iters)
         return zz, lam
 
-    def _front_update(xi, x, ue, z_side, xtr_prev):
-        """One outer update of a transition front.
+    # ── transition fronts: the march is the single authority ────────────
+    # The sequential laminar/turbulent march (validated against Blasius,
+    # Schoenherr and the flat-plate e^N window) re-integrates the CURRENT
+    # edge-velocity field between LM rounds and its interpolated n=n_crit
+    # crossing (laminar separation included — the march forces transition
+    # there) sets the frozen turbulence ramp for the next round. Every
+    # purely-parallel substitute tried for this step (Thwaites-equilibrium
+    # continuation, e^N over the iterate's own fields) left a spurious
+    # basin open: equilibrium H misplaces the crossing by up to 0.2c in
+    # post-peak decelerations, and the iterate's own fields are
+    # chicken-and-egg (a wrongly-laminar aft state reads rate ~ 0 and
+    # never crosses). The march is parabolic and unique, so the front
+    # leapfrog has one fixed point; it also makes the fallback, the
+    # convergence oracle and the system agree on what transition means.
+    march_pair_f = jax.vmap(
+        lambda s, ue, x: march_side(s, ue, x, nu, n_crit,
+                                    x_forced_transition))
 
-        The envelope factor is integrated over a LAMINAR CONTINUATION of
-        the current edge-velocity field: Thwaites' momentum estimate
-        (a parallel cumsum — no march) supplies theta/H along the whole
-        side, the e^N rate closure is evaluated on that laminar state, and
-        the n = n_crit crossing is interpolated. Integrating over the
-        *solved* fields instead is ill-posed downstream of the current
-        front (they are turbulent there, the envelope rate reads ~0, so n
-        plateaus and the front can only creep) — that creep left the front
-        wherever rounding pushed it, up to +-0.04 chord apart on the two
-        sides of a symmetric airfoil at alpha = 0. The laminar
-        continuation makes the crossing well-defined everywhere, so the
-        outer iteration has a rounding-stable fixed point.
-
-        UPSTREAM of the current front, though, the system's own laminar
-        state is the better amplification input: its H carries the
-        non-equilibrium lag of the KE equation, which in the steep
-        post-suction-peak deceleration runs well ABOVE Thwaites'
-        equilibrium H(lambda) — pure-Thwaites rates there put transition
-        up to 0.05c aft of what a laminar march of the same field gives
-        (worst at high alpha, where that thins the TE layer and fakes an
-        attached thin branch). Blend: system-state rate where the system
-        is laminar, Thwaites continuation beyond the front.
-        """
-        ue_c = jnp.maximum(ue, 0.02)
-        ds = jnp.maximum(xi[1:] - xi[:-1], 1e-8)
-        ue5 = ue_c**5
-        integ = jnp.concatenate([
-            jnp.zeros((1,), dtype),
-            jnp.cumsum(0.5 * (ue5[1:] + ue5[:-1]) * ds),
-        ])
-        theta2 = 0.45 * nu * integ / jnp.maximum(ue_c**6, 1e-12)
-        # Stagnation similarity floor (Thwaites gives 0.075 nu/K there).
-        k0 = jnp.maximum(ue_c[0] / jnp.maximum(xi[0], 1e-8), 1e-6)
-        theta2 = jnp.maximum(theta2, 0.075 * nu / k0)
-        theta = jnp.sqrt(theta2)
-        due_ds = jnp.gradient(ue_c) / jnp.maximum(jnp.gradient(xi), 1e-9)
-        lam = jnp.clip(theta2 / nu * due_ds, -0.12, 0.25)
-        # Cebeci-Bradshaw H(lambda) branches, capped at laminar separation.
-        hk = jnp.where(lam >= 0.0,
-                       2.61 - 3.75 * lam + 5.24 * lam * lam,
-                       2.088 + 0.0731 / (lam + 0.14))
-        hk = jnp.clip(hk, 1.5, cl.HK_LAM_MAX)
-        ret = jnp.maximum(ue_c * theta / nu, 1.0)
-        rate = cl.amplification_rate(hk, theta, ret)
-        th_sys = jnp.exp(z_side[:, 0])
-        hk_sys = jnp.clip((jnp.exp(z_side[:, 1]) / ue_c)
-                          / jnp.maximum(th_sys, 1e-10),
-                          1.5, cl.HK_LAM_MAX)
-        ret_sys = jnp.maximum(ue_c * th_sys / nu, 1.0)
-        rate_sys = cl.amplification_rate(hk_sys, th_sys, ret_sys)
-        upstream = x < (xtr_prev - _TR_WIDTH)
-        rate = jnp.where(upstream, rate_sys, rate)
-        n_cum = jnp.concatenate([
-            jnp.zeros((1,), dtype),
-            jnp.cumsum(0.5 * (rate[1:] + rate[:-1]) * ds),
-        ])
-        crossed = jnp.logical_and(n_cum[:-1] < n_crit, n_cum[1:] >= n_crit)
-        fracx = jnp.where(
-            crossed,
-            (n_crit - n_cum[:-1])
-            / jnp.maximum(n_cum[1:] - n_cum[:-1], 1e-6),
-            0.0)
-        xc = x[:-1] + fracx * (x[1:] - x[:-1])
-        any_c = jnp.any(crossed)
-        idx = jnp.argmax(crossed)
-        xtr_new = jnp.where(any_c, xc[idx], jnp.asarray(2.0, dtype))
-        # Light damping keeps the front/field leapfrog monotone.
-        xtr_new = 0.75 * xtr_new + 0.25 * xtr_prev
-        if (isinstance(x_forced_transition, (int, float))
-                and x_forced_transition >= 1.0):
-            return xtr_new
-        return jnp.minimum(xtr_new,
-                           jnp.asarray(x_forced_transition, dtype))
-
-    def fronts_from(zz, xtr_u_prev, xtr_l_prev):
-        zu, zl, _zw = _unpack(zz, m_s, n_w)
-        m_u = jnp.exp(zu[:, 1])
-        m_l = jnp.exp(zl[:, 1])
-        m_w = jnp.exp(_zw[:, 1])
+    def fronts_from(zz):
+        zu, zl, zw_ = _unpack(zz, m_s, n_w)
         ue_u, ue_l, _uw, _vt, _sb, _sw = _ue_from_m(
-            op, wop, grid, vt0, m_u, m_l, m_w)
-        xtr_u = _front_update(grid.xi_u, grid.x_u, ue_u, zu, xtr_u_prev)
-        xtr_l = _front_update(grid.xi_l, grid.x_l, ue_l, zl, xtr_l_prev)
-        return jax.lax.stop_gradient(xtr_u), jax.lax.stop_gradient(xtr_l)
+            op, wop, grid, vt0, jnp.exp(zu[:, 1]), jnp.exp(zl[:, 1]),
+            jnp.exp(zw_[:, 1]))
+        bl2 = march_pair_f(jnp.stack([grid.xi_u, grid.xi_l]),
+                           jnp.stack([ue_u, ue_l]),
+                           jnp.stack([grid.x_u, grid.x_l]))
+
+        def front(bl, x):
+            return jnp.where(bl.x_transition < x[-1] - 1e-6,
+                             bl.x_transition, jnp.asarray(2.0, dtype))
+
+        bl_u = jax.tree.map(lambda a: a[0], bl2)
+        bl_l = jax.tree.map(lambda a: a[1], bl2)
+        return (jax.lax.stop_gradient(front(bl_u, grid.x_u)),
+                jax.lax.stop_gradient(front(bl_l, grid.x_l)))
 
     def frozen_weights(xtr_u, xtr_l):
-        """Per-round turbulence weights: the transition ramp, FROZEN at the
-        round-start front. The ramp position is the ONLY source of
-        turbulence: a state-dependent bubble trigger (w escalating wherever
-        the iterate's Hk spikes past HK_LAM_MAX) is a live w(state)
-        coupling that re-freezes a different turbulence pattern every
-        round — spurious mid-chord bubble states then self-reinforce (the
-        locked-in thick spot keeps its own trigger alive) and a fine alpha
-        sweep picks up 10-30% CD scatter from basin hopping. Laminar
-        separation still forces transition, but through the FRONT: the
-        Thwaites continuation in _front_update caps Hk at the separation
-        value, the envelope rate explodes there, and the n = n_crit
-        crossing lands just downstream of the separation point."""
+        """Turbulence blend weights: a narrow ramp frozen at the front.
+        cummax keeps turbulence irreversible along the strip even if the
+        ramp sigmoid wiggles on a non-monotone x grid near the LE."""
         return (jax.lax.cummax(_w_ramp(grid.x_u, xtr_u), axis=0),
                 jax.lax.cummax(_w_ramp(grid.x_l, xtr_l), axis=0))
 
-    # Outer rounds: freeze the transition ramp, converge the simultaneous
-    # system, re-locate the front from the converged fields, repeat. The
-    # initial fronts come from the warm-start march itself (undamped).
-    # Initial fronts come from the warm-start march itself — the march is
-    # the transition authority (its trigger integrates the same envelope
-    # equation along the way).
+    def make_res(w_u, w_l):
+        return partial(_residual, w_u=w_u, w_l=w_l, op=op, wop=wop,
+                       grid=grid, vt0=vt0, nu=nu, m_s=m_s, n_w=n_w)
+
+    # One march re-integration is expensive to COMPILE (a 96-step scan
+    # with an inner Newton scan), so the solve instantiates as few as
+    # possible: per-point solves freeze the fronts the warm pass's final
+    # march already produced on the nearly-settled displaced field (no
+    # re-location rounds at all); continuation solves, whose donor fronts
+    # are up to ~0.05c stale after an alpha step, re-locate ONCE between
+    # two LM half-runs. The budget newton_iters * outer_rounds is the
+    # total LM iteration count either way.
+    total_iters = newton_iters * outer_rounds
     zz, lam = zz0, jnp.asarray(1e-3, dtype)
-    xtr_u, xtr_l = xtr_u_march, xtr_l_march
-    if init_state is not None:
-        # Continuation: start from a converged neighbouring-alpha state
-        # (the polar's second pass) instead of the warm march. The station
-        # grids are congruent across alpha (per-side arc fractions), so
-        # the state transfers index-wise.
-        zz, xtr_u, xtr_l = init_state
-    for _ in range(outer_rounds):
+    if init_state is None:
+        xtr_u, xtr_l = _xtr_u_march, _xtr_l_march
         w_u, w_l = frozen_weights(xtr_u, xtr_l)
         zz, lam = run_lm(make_res(w_u, w_l), make_jac(w_u, w_l), zz,
-                         jnp.maximum(lam, 1e-4), newton_iters)
-        xtr_u, xtr_l = fronts_from(zz, xtr_u, xtr_l)
+                         jnp.maximum(lam, 1e-4), total_iters)
+    else:
+        # Continuation: start from a converged neighbouring-alpha state
+        # (the polar's walk) instead of the warm march; its carried
+        # fronts are the first frozen ramp. The station grids are
+        # congruent across alpha (per-side arc fractions), so the state
+        # transfers index-wise.
+        zz, xtr_u, xtr_l = init_state
+        half = max(total_iters // 2, 1)
+        w_u, w_l = frozen_weights(xtr_u, xtr_l)
+        zz, lam = run_lm(make_res(w_u, w_l), make_jac(w_u, w_l), zz,
+                         jnp.maximum(lam, 1e-4), half)
+        xtr_u, xtr_l = fronts_from(zz)
+        w_u, w_l = frozen_weights(xtr_u, xtr_l)
+        zz, lam = run_lm(make_res(w_u, w_l), make_jac(w_u, w_l), zz,
+                         jnp.maximum(lam, 1e-4), total_iters - half)
 
-    w_u, w_l = frozen_weights(xtr_u, xtr_l)
     rms = _rms(make_res(w_u, w_l)(zz))
 
     # ── extract the solution ────────────────────────────────────────────

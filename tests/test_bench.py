@@ -25,10 +25,15 @@ class TestCorpus:
             assert open(pa).read() == open(pb).read()
 
     def test_class_mix(self, tmp_path):
+        # Filenames are af####_<geometry-family>_<format-kind>.dat.
         paths = generate_corpus(str(tmp_path / "c"), n=60, seed=0)
-        kinds = [os.path.basename(p).split("_", 1)[1][:-4] for p in paths]
-        assert kinds.count("lednicer") > 20
+        kinds = [os.path.basename(p)[:-4].rsplit("_", 1)[1] for p in paths]
+        assert sum(k == "lednicer" for k in kinds) > 15
         assert any(k == "multi" for k in kinds) or len(paths) < 60
+        geos = {os.path.basename(p).split("_", 1)[1].rsplit("_", 1)[0]
+                for p in paths}
+        # Hard-geometry families actually appear alongside NACA4.
+        assert len(geos) >= 4
 
 
 class TestRawTokenizer:

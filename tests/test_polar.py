@@ -12,9 +12,12 @@ from airfoil_tpu.polar.sweep import (
 
 @pytest.fixture(scope="module")
 def polar2412():
-    alphas = np.arange(-4.0, 12.1, 2.0, dtype=np.float32)
-    return alphas, solve_polar(naca4(2, 4, 12, 80), alphas, 1e6,
-                               n_panels=128)
+    # P=5 and the default 160 panels intentionally MATCH the API polar
+    # endpoint test's request shape: both then share one compiled
+    # _polar_kernel signature within a suite run (the kernel is the most
+    # expensive compile in the suite; two shapes would double it).
+    alphas = np.arange(-2.0, 6.1, 2.0, dtype=np.float32)
+    return alphas, solve_polar(naca4(2, 4, 12, 80), alphas, 1e6)
 
 
 class TestPolar:
@@ -60,14 +63,15 @@ class TestPolar:
 
 class TestAnalyze:
     def test_viscous_point_full_contract(self):
-        r = analyze_airfoil(naca4(2, 4, 12, 80), reynolds=1e6, alpha=4.0,
-                            n_panels=128)
+        # Default panel count on purpose: shares the solver compile with
+        # the API handlers (which also analyze at the default).
+        r = analyze_airfoil(naca4(2, 4, 12, 80), reynolds=1e6, alpha=4.0)
         assert r.mode == "viscous"
         assert r.strategy in (1, 2)
         c = r.coefficients
         assert set(c) >= {"CL", "CD", "CDp", "Cm", "mode"}
         assert "warning" not in c
-        assert len(r.cp_x) == len(r.cp_values) == 128
+        assert len(r.cp_x) == len(r.cp_values) == 160
         bl = r.bl_data
         assert bl is not None
         assert set(bl) == {"upper", "lower", "transition_upper_x",
@@ -80,8 +84,7 @@ class TestAnalyze:
 
     def test_inviscid_fallback_contract(self):
         # Deep stall: viscous strategies fail -> inviscid with warning.
-        r = analyze_airfoil(naca4(2, 4, 12, 80), reynolds=1e6, alpha=19.0,
-                            n_panels=128)
+        r = analyze_airfoil(naca4(2, 4, 12, 80), reynolds=1e6, alpha=19.0)
         assert r.mode == "inviscid"
         assert r.strategy == 3
         assert r.bl_data is None
