@@ -191,9 +191,17 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
     pos0 = jnp.argmin(jnp.abs(a_s))
     pos = jnp.arange(p_total)
 
+    # Segment 1 ascends from the point nearest alpha = 0 (the seed region
+    # where per-point solves are most reliable) to the top; segment 2
+    # descends over the WHOLE range. The carry flows continuously through
+    # the turn (both segments are active there, so the direction-start
+    # reset does not fire), which is what lets the descent repair a
+    # failed low-alpha region from donors above it — e.g. the Re ~ 2e5
+    # bubble regime, where per-point solves only converge from alpha ~ 3
+    # up and every point below needs a downward continuation chain.
     a_seq = jnp.concatenate([a_s, a_s[::-1]])
     re_seq = jnp.concatenate([re_s, re_s[::-1]])
-    active = jnp.concatenate([pos >= pos0, (pos <= pos0)[::-1]])
+    active = jnp.concatenate([pos >= pos0, jnp.ones_like(pos, bool)])
     m1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), m1_s)
     nok1_seq = jnp.concatenate([nok1_s, nok1_s[::-1]])
     st1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), st1_s)
@@ -206,9 +214,10 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
     m_dn = jax.tree.map(lambda x: x[p_total:][::-1], m_walk)
     used_up = used[:p_total]
     used_dn = used[p_total:][::-1]
-    take_up = pos >= pos0
-    m_sorted = _tree_where(take_up, m_up, m_dn)
-    used_sorted = jnp.where(take_up, used_up, used_dn)
+    # Prefer the ascent's result where it accepted one (its donors are
+    # nearest the seed); the descent fills everything else.
+    m_sorted = _tree_where(used_up, m_up, m_dn)
+    used_sorted = jnp.logical_or(used_up, used_dn)
     v1 = jax.tree.map(lambda x: x[inv], m_sorted)
     walk_used = used_sorted[inv]
     # Walk results carry their own convergence in slot 4; a point the walk
