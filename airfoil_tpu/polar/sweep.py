@@ -111,14 +111,20 @@ def _shift_hist(hist, a, cl, cd):
     return (jnp.minimum(n_acc + 1, 2), a, cl, cd, a1, cl1, cd1)
 
 
-def _walk(op, a_seq, re_seq, active, m1_seq, nok1_seq, st1_seq, state_like):
+def _walk(op, a_seq, re_seq, active, seg_start, m1_seq, nok1_seq, st1_seq,
+          state_like):
     """The continuation walk: one scan over [ascending; descending] alphas.
 
     Each step either adopts the audited per-point result (cheap path) or
     re-solves by continuation from the carry (the last accepted state).
     The carry resets where a direction's first active step begins
-    (``act & ~prev_act``), so the up and down walks are independent even
-    though they share one scan.
+    (``act & ~prev_act``) AND at every ``seg_start`` step, so the up and
+    down walks are independent even though they share one scan. The turn
+    reset matters: without it the descent inherits whatever smoothly-wrong
+    post-stall state the ascent's tail extension last accepted, and one
+    bad carry poisons the entire downward pass (observed as every
+    negative-alpha point of a -10..20 polar failing). A fresh descent
+    re-anchors on the first trusted per-point result it meets.
     """
     f32 = a_seq.dtype
     zero_hist = (jnp.zeros((), jnp.int32),) + tuple(
@@ -127,14 +133,25 @@ def _walk(op, a_seq, re_seq, active, m1_seq, nok1_seq, st1_seq, state_like):
         jnp.array(False),) + tuple(jnp.zeros((), f32) for _ in range(3))
 
     def step(carry, inp):
-        prev_act, hist, st = carry
-        a, re_, act, m1, nok1, st1 = inp
-        reset = jnp.logical_and(act, jnp.logical_not(prev_act))
+        prev_act, hist, st, failcnt = carry
+        a, re_, act, seg0, m1, nok1, st1 = inp
+        reset = jnp.logical_or(
+            jnp.logical_and(act, jnp.logical_not(prev_act)), seg0)
         hist = jax.tree.map(
             lambda z, h: jnp.where(reset, z, h), zero_hist, hist)
+        failcnt = jnp.where(reset, 0, failcnt)
 
-        adopt1 = jnp.logical_and(
+        adopt_trend = jnp.logical_and(
             nok1, _trend_ok(a, m1[0], m1[1], hist))
+        # Re-anchor: after two consecutive walk failures the carry/history
+        # is evidently stale (a continuation chain that drifted onto the
+        # stall-hysteresis thick branch, or a knife-edge region) — an
+        # independently-converged per-point result is then better evidence
+        # than the trend, so trust it and restart the history from it.
+        re_anchor = jnp.logical_and(
+            nok1, jnp.logical_and(failcnt >= 2,
+                                  jnp.logical_not(adopt_trend)))
+        adopt1 = jnp.logical_or(adopt_trend, re_anchor)
         # Continuation is possible once the walk holds an accepted state.
         can_cont = hist[0] >= 1
         run_cont = jnp.logical_and(
@@ -151,18 +168,30 @@ def _walk(op, a_seq, re_seq, active, m1_seq, nok1_seq, st1_seq, state_like):
         mc, nokc, stc_new = jax.lax.cond(run_cont, cont, skip, st)
 
         use1 = jnp.logical_and(act, adopt1)
-        usec = jnp.logical_and(run_cont, nokc)
+        # A continuation result must ALSO sit on the trend: a wrong-basin
+        # solve that self-reports converged would otherwise become the
+        # carry and poison every step after it (one bad hand-off can fail
+        # the rest of a sweep direction).
+        usec = jnp.logical_and(
+            run_cont, jnp.logical_and(
+                nokc, _trend_ok(a, mc[0], mc[1], hist)))
         used = jnp.logical_or(use1, usec)
         m_out = _tree_where(use1, m1, _tree_where(usec, mc, zeros8))
         st_out = _tree_where(use1, st1, _tree_where(usec, stc_new, st))
+        hist = jax.tree.map(
+            lambda z, h: jnp.where(re_anchor, z, h), zero_hist, hist)
         hist_out = jax.tree.map(
             lambda h, hn: jnp.where(used, hn, h),
             hist, _shift_hist(hist, a, m_out[0], m_out[1]))
-        return (act, hist_out, st_out), (m_out, used)
+        failcnt_out = jnp.where(jnp.logical_not(act), failcnt,
+                                jnp.where(used, 0, failcnt + 1))
+        return (act, hist_out, st_out, failcnt_out), (m_out, used)
 
-    init = (jnp.array(False), zero_hist, state_like)
+    init = (jnp.array(False), zero_hist, state_like,
+            jnp.zeros((), jnp.int32))
     _, (m_walk, used) = jax.lax.scan(
-        step, init, (a_seq, re_seq, active, m1_seq, nok1_seq, st1_seq))
+        step, init,
+        (a_seq, re_seq, active, seg_start, m1_seq, nok1_seq, st1_seq))
     return m_walk, used
 
 
@@ -202,13 +231,14 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
     a_seq = jnp.concatenate([a_s, a_s[::-1]])
     re_seq = jnp.concatenate([re_s, re_s[::-1]])
     active = jnp.concatenate([pos >= pos0, jnp.ones_like(pos, bool)])
+    seg_start = jnp.zeros((2 * p_total,), bool).at[p_total].set(True)
     m1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), m1_s)
     nok1_seq = jnp.concatenate([nok1_s, nok1_s[::-1]])
     st1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), st1_s)
     state_like = jax.tree.map(lambda x: x[0], st1)
 
-    m_walk, used = _walk(op, a_seq, re_seq, active, m1_seq, nok1_seq,
-                         st1_seq, state_like)
+    m_walk, used = _walk(op, a_seq, re_seq, active, seg_start, m1_seq,
+                         nok1_seq, st1_seq, state_like)
 
     m_up = jax.tree.map(lambda x: x[:p_total], m_walk)
     m_dn = jax.tree.map(lambda x: x[p_total:][::-1], m_walk)
@@ -225,8 +255,19 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
     v1 = v1[:4] + (jnp.logical_and(v1[4], walk_used),) + v1[5:]
 
     # ── pass 3: smoothed-geometry rescue (reference Strategy 2) ─────────
+    # Only the points that actually failed re-solve, gathered into a
+    # fixed-size bucket (static shapes under jit): a handful of failures
+    # costs a B-wide batched solve instead of a full P-wide one. Polars
+    # with more than B failed points leave the excess to the inviscid
+    # fill — by that stage they are deep post-stall anyway.
     use1 = v1[4]
-    needs_s2 = jnp.logical_not(jnp.all(use1))
+    fail = jnp.logical_not(use1)
+    needs_s2 = jnp.any(fail)
+    bucket = min(8, p_total)
+    idx_b = jnp.argsort(jnp.logical_not(fail))[:bucket]
+    valid_b = fail[idx_b]
+    a_b = alphas[idx_b]
+    re_b = reynolds[idx_b]
 
     def run_s2(_):
         xs, ys = smooth_geometry(xp, yp)
@@ -234,13 +275,21 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
         out, _extra = jax.vmap(
             lambda a, re_: solve_polar_point(op_s, a, re_,
                                              n_stations=_N_STATIONS)
-        )(alphas, reynolds)
+        )(a_b, re_b)
         return out
 
     def skip_s2(_):
-        return jax.tree.map(lambda x: jnp.zeros_like(x), m1)
+        return jax.tree.map(
+            lambda x: jnp.zeros((bucket,) + x.shape[1:], x.dtype), m1)
 
-    v2 = jax.lax.cond(needs_s2, run_s2, skip_s2, operand=None)
+    out_b = jax.lax.cond(needs_s2, run_s2, skip_s2, operand=None)
+    v2 = jax.tree.map(
+        lambda xb, tmpl: jnp.zeros_like(tmpl).at[idx_b].set(
+            jnp.where(
+                jnp.reshape(valid_b, valid_b.shape
+                            + (1,) * (xb.ndim - 1)), xb,
+                jnp.zeros_like(xb))),
+        out_b, m1)
 
     # ── pass 4: inviscid fill (reference Strategy 3) ────────────────────
     def inv_point(a):

@@ -790,15 +790,32 @@ def _solve_viscous_newton_impl(
             diag = jnp.maximum(jnp.diag(jtj), 1e-8)
 
             def candidate(factor):
-                dz = jnp.linalg.solve(jtj + jnp.diag(lam * factor * diag),
-                                      -jtr)
+                # (J^T J + lam D) is SPD by construction: Cholesky +
+                # two triangular solves, ~2-3x cheaper than the pivoted
+                # LU jnp.linalg.solve would run — these P x 4 batched
+                # dense solves are the single largest cost of a polar.
+                a = jtj + jnp.diag(lam * factor * diag)
+                chol = jax.lax.linalg.cholesky(a)
+                dz = jax.lax.linalg.triangular_solve(
+                    chol,
+                    jax.lax.linalg.triangular_solve(
+                        chol, -jtr[:, None], left_side=True, lower=True),
+                    left_side=True, lower=True, transpose_a=True)[:, 0]
                 dz = jnp.clip(dz, -_STEP_CLIP, _STEP_CLIP)
                 dz = jnp.where(jnp.all(jnp.isfinite(dz)), dz,
                                jnp.zeros_like(dz))
                 return dz, _rms(res(zz + dz))
 
             dzs, rmss = jax.vmap(candidate)(_LAM_FACTORS)
-            best = jnp.argmin(rmss)
+            # Deterministic near-tie handling: among candidates within 1%
+            # of the best rms, take the gentlest damping. A bare argmin
+            # amplifies f32 rounding noise into different step SEQUENCES
+            # between compilation contexts (vmapped vs scalar vs fused
+            # into a larger kernel), which made borderline solves flip
+            # basins between the polar kernel and standalone calls.
+            rbest = jnp.min(rmss)
+            near = rmss <= rbest * 1.01
+            best = jnp.argmax(near)          # first (smallest factor) hit
             accept = rmss[best] < rms_here
             zz = jnp.where(accept, zz + dzs[best], zz)
             lam = jnp.clip(jnp.where(accept, lam * _LAM_FACTORS[best] / 3.0,
