@@ -588,8 +588,8 @@ def solve_polar_point(
     n_stations: int = 96,
     n_wake: int = 20,
     warm_iters: int = 8,
-    newton_iters: int = 8,
-    outer_rounds: int = 3,
+    newton_iters: int = 10,
+    outer_rounds: int = 2,
 ):
     """One polar point: Newton scalars where converged, else the warm-start
     direct-trajectory fallback (assembled inside the same solve — no second
