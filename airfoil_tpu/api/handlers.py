@@ -41,6 +41,59 @@ class ApiError(Exception):
         self.detail = detail
 
 
+def _enable_persistent_compile_cache():
+    """Cache compiled solver kernels on disk across server restarts.
+
+    The big polar/Newton kernels take minutes to compile on a cold TPU
+    tunnel; with the cache a restarted server re-serves hard requests
+    immediately. Best-effort (ignored on failure); override the location
+    with AIRFOIL_TPU_JAX_CACHE.
+    """
+    import os
+
+    try:
+        import jax
+
+        cache_dir = os.environ.get(
+            "AIRFOIL_TPU_JAX_CACHE",
+            os.path.expanduser("~/.cache/airfoil_tpu_jax"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          5.0)
+    except Exception as e:           # pragma: no cover
+        logger.warning("persistent compile cache unavailable: %s", e)
+
+
+def start_warmup():
+    """Compile the standard-shape solver kernels in a background thread.
+
+    The analysis path's kernels (per-point Newton, continuation rescue)
+    take minutes to compile on a cold TPU tunnel; without warmup the
+    FIRST hard-alpha request eats that compile inside the request and
+    blows client timeouts. The reference has the same class of problem in
+    a different coat (XFOIL's 90 s per-strategy timeout, main.py:300) —
+    here one warmup per process removes it. Requests arriving during
+    warmup simply share the compilation via JAX's internal cache locks.
+    """
+    _enable_persistent_compile_cache()
+
+    def _warm():
+        try:
+            from airfoil_tpu.models import naca4
+            from airfoil_tpu.polar import analyze_airfoil
+
+            t0 = time.perf_counter()
+            analyze_airfoil(naca4(2, 4, 12, 60), reynolds=1e6, alpha=14.0)
+            logger.info("solver warmup done in %.1fs",
+                        time.perf_counter() - t0)
+        except Exception as e:       # pragma: no cover - warmup is best-effort
+            logger.warning("solver warmup failed: %s", e)
+
+    threading.Thread(target=_warm, name="solver-warmup",
+                     daemon=True).start()
+
+
 def parse_upload(filename: str, content: bytes):
     """Shared validation + parse path for any endpoint taking a .dat file."""
     if len(content) > config.MAX_FILE_SIZE:

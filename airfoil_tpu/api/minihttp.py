@@ -288,6 +288,7 @@ def make_server(host: str = "0.0.0.0", port: int | None = None,
 
 def serve(host: str = "0.0.0.0", port: int | None = None):
     httpd = make_server(host, port)
+    handlers.start_warmup()
     logger.info("airfoil_tpu mini server on %s:%d", *httpd.server_address)
     try:
         httpd.serve_forever()

@@ -59,6 +59,10 @@ if HAVE_FASTAPI:
 
     def create_app() -> "FastAPI":
         app = FastAPI(title="Airfoil TPU CFD API")
+
+        @app.on_event("startup")
+        async def _warm():
+            handlers.start_warmup()
         if _HAVE_SLOWAPI:
             app.state.limiter = _limiter
             app.add_exception_handler(RateLimitExceeded,

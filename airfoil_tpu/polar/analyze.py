@@ -112,14 +112,48 @@ def analyze_airfoil(
         return [float(v) for v in np.asarray(the_op.pan.xm, np.float64)]
 
     def solve_best(the_op):
-        """Simultaneous-Newton solve first (XFOIL-class accuracy); fall
-        back to the direct under-relaxed iteration when Newton flags a
-        wrong-basin / unconverged solution (robust but ~biased thick)."""
+        """Simultaneous-Newton solve first (XFOIL-class accuracy); when it
+        flags a wrong-basin / unconverged solution, retry by
+        alpha-continuation from a gentler operating point (the same basin
+        control the polar walk applies — a single hard-alpha request gets
+        the rescue a sweep would give it); finally the direct
+        under-relaxed iteration (robust but ~biased thick)."""
         res = solve_viscous_newton(the_op, float(alpha), float(reynolds),
                                    n_crit=n_crit,
                                    x_forced_transition=x_forced_transition)
         if bool(res.converged):
             return res
+
+        from airfoil_tpu.viscous.newton import (
+            solve_polar_point,
+            solve_polar_point_cont,
+            solve_viscous_newton_cont,
+        )
+
+        a_t = float(alpha)
+        a_seed = 0.6 * a_t if abs(a_t) > 3.0 else 0.0
+        _m, (nok, st) = solve_polar_point(
+            the_op, a_seed, float(reynolds), n_crit=n_crit,
+            x_forced_transition=x_forced_transition)
+        if bool(nok):
+            # One intermediate hop when the gap is wide, then the target.
+            hops = ([a_seed + 0.8 * (a_t - a_seed)]
+                    if abs(a_t - a_seed) > 2.5 else [])
+            for a_i in hops:
+                _m, (nok_i, st_i) = solve_polar_point_cont(
+                    the_op, a_i, float(reynolds), *st, n_crit=n_crit,
+                    x_forced_transition=x_forced_transition)
+                if not bool(nok_i):
+                    st = None
+                    break
+                st = st_i
+            if st is not None:
+                res_c = solve_viscous_newton_cont(
+                    the_op, a_t, float(reynolds), *st, n_crit=n_crit,
+                    x_forced_transition=x_forced_transition)
+                if bool(res_c.converged):
+                    return res_c
+
         return solve_viscous(the_op, float(alpha), float(reynolds),
                              n_crit=n_crit,
                              x_forced_transition=x_forced_transition)

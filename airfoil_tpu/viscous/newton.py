@@ -619,6 +619,35 @@ def _merge_point(res, fb):
 
 @partial(jax.jit, static_argnames=("n_stations", "n_wake", "warm_iters",
                                    "newton_iters", "outer_rounds"))
+def solve_viscous_newton_cont(
+    op: InviscidOperator,
+    alpha_deg,
+    reynolds,
+    init_zz,
+    init_xtr_u,
+    init_xtr_l,
+    n_crit: float = 9.0,
+    x_forced_transition: float = 1.0,
+    n_stations: int = 96,
+    n_wake: int = 20,
+    warm_iters: int = 1,
+    newton_iters: int = 14,
+    outer_rounds: int = 3,
+) -> ViscousResult:
+    """Full-result continuation solve from a donor state: the single-point
+    analysis path's rescue (an alpha-bracket walk toward a hard operating
+    point) needs the complete ``ViscousResult`` (Cp, BL sides) that the
+    merged-scalar polar contract drops."""
+    with jax.default_matmul_precision("highest"):
+        res, _fb, _state = _solve_viscous_newton_impl(
+            op, alpha_deg, reynolds, n_crit, x_forced_transition,
+            n_stations, n_wake, warm_iters, newton_iters, outer_rounds,
+            init_state=(init_zz, init_xtr_u, init_xtr_l))
+    return res
+
+
+@partial(jax.jit, static_argnames=("n_stations", "n_wake", "warm_iters",
+                                   "newton_iters", "outer_rounds"))
 def solve_polar_point_cont(
     op: InviscidOperator,
     alpha_deg,
