@@ -97,7 +97,7 @@ class TestBatch:
         from airfoil_tpu.polar import solve_batch
 
         foils = [naca4(2, 4, 12, 80), naca4(0, 0, 12, 70)]
-        r = solve_batch(foils, 1e6, 2.0, n_panels=128)
+        r = solve_batch(foils, 1e6, 2.0)
         cl = np.asarray(r.cl)
         assert cl.shape == (2,)
         # Cambered section lifts more than the symmetric one at alpha=2.
