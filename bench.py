@@ -87,6 +87,26 @@ def main():
         extra["lbm_mlups"] = round(lbm["mlups"], 1)
         extra["lbm_vs_baseline"] = round(lbm["mlups"] / BASELINE_LBM_MLUPS, 1)
 
+    # Accuracy alongside speed: the checked-in parity report (regenerated
+    # by `python -m airfoil_tpu.bench.parity` through the product path;
+    # see airfoil_tpu/bench/results/). Read, not recomputed — a parity run
+    # costs several solver compiles and belongs to its own harness.
+    try:
+        import os
+
+        rep = os.path.join(os.path.dirname(__file__), "airfoil_tpu",
+                           "bench", "results", "parity_report.json")
+        with open(rep) as f:
+            parity = json.load(f)
+        extra["parity"] = {
+            "median_abs_cl_dev_pct": parity["median_abs_cl_dev_pct"],
+            "median_abs_cd_dev_pct": parity["median_abs_cd_dev_pct"],
+            "converged_fraction": parity["converged_fraction"],
+            "ground_truth": parity["ground_truth"],
+        }
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "viscous_polar_points_per_sec",
         "value": round(polar["points_per_sec"], 2),
