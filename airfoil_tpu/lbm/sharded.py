@@ -28,29 +28,44 @@ from airfoil_tpu.lbm.core import boundary_masks, step_body
 __all__ = ["sharded_lbm_steps", "dryrun_sharded_step"]
 
 
-def sharded_lbm_steps(mesh: Mesh, f, solid, u0, tau, steps: int):
+def sharded_lbm_steps(mesh: Mesh, f, solid, u0, tau, steps: int,
+                      halo_steps: int = 8):
     """Advance ``steps`` LBM steps with rows sharded over mesh axis 0.
 
     ``f``: (9, NY, NX) with NY divisible by the mesh size. Returns the
     advanced (9, NY, NX), still sharded.
+
+    Communication is amortised with the same K-step halo argument the
+    single-chip tiled Pallas kernel uses (lbm/kernel.py): exchange
+    ``h = min(halo_steps, steps)`` rows once, run h fused local steps on
+    the extended block (staleness grows inward 1 row/step from the block
+    edges, so the interior stays exact), crop h rows — one ppermute pair
+    per h steps instead of per step, so nearest-neighbour ICI traffic
+    drops h-fold. Correct for any h up to the local row count; the
+    global top/bottom wrap rows are pinned by the equilibrium-edge masks
+    every step, exactly as in the 1-row scheme.
     """
     axis = mesh.axis_names[0]
     n_dev = mesh.devices.size
     ny = f.shape[1]
     assert ny % n_dev == 0, f"NY={ny} not divisible by {n_dev} devices"
+    h = max(1, min(halo_steps, steps, ny // n_dev))
+    plan = [h] * (steps // h)
+    if steps % h:
+        plan.append(steps % h)
 
     is_outlet, is_edge_eq = boundary_masks(ny, f.shape[2])
 
     fwd = [(i, (i + 1) % n_dev) for i in range(n_dev)]
     bwd = [(i, (i - 1) % n_dev) for i in range(n_dev)]
 
-    def halo_extend(a, row_axis):
-        """Concatenate the neighbours' adjacent rows around the local block."""
-        top = lax.slice_in_dim(a, a.shape[row_axis] - 1, a.shape[row_axis],
-                               axis=row_axis)
-        bot = lax.slice_in_dim(a, 0, 1, axis=row_axis)
-        from_below = lax.ppermute(top, axis, fwd)   # row below our block
-        from_above = lax.ppermute(bot, axis, bwd)   # row above our block
+    def halo_extend(a, row_axis, k):
+        """Concatenate the neighbours' adjacent k rows around the block."""
+        top = lax.slice_in_dim(a, a.shape[row_axis] - k,
+                               a.shape[row_axis], axis=row_axis)
+        bot = lax.slice_in_dim(a, 0, k, axis=row_axis)
+        from_below = lax.ppermute(top, axis, fwd)   # rows below our block
+        from_above = lax.ppermute(bot, axis, bwd)   # rows above our block
         return jnp.concatenate([from_below, a, from_above], axis=row_axis)
 
     @partial(
@@ -60,17 +75,19 @@ def sharded_lbm_steps(mesh: Mesh, f, solid, u0, tau, steps: int):
         out_specs=P(None, axis, None),
     )
     def stepper(f_loc, solid_loc, outlet_loc, edge_loc):
-        solid_ext = halo_extend(solid_loc, 0)
-        outlet_ext = halo_extend(outlet_loc, 0)
-        edge_ext = halo_extend(edge_loc, 0)
+        for k in plan:                       # static unroll (<= 2 bodies)
+            solid_ext = halo_extend(solid_loc, 0, k)
+            outlet_ext = halo_extend(outlet_loc, 0, k)
+            edge_ext = halo_extend(edge_loc, 0, k)
+            f_ext = halo_extend(f_loc, 1, k)
 
-        def one(_, fc):
-            f_ext = halo_extend(fc, 1)
-            out = step_body(f_ext, solid_ext, u0, tau,
-                            masks=(outlet_ext, edge_ext))
-            return out[:, 1:-1, :]
+            def one(_, fc):
+                return step_body(fc, solid_ext, u0, tau,
+                                 masks=(outlet_ext, edge_ext))
 
-        return lax.fori_loop(0, steps, one, f_loc)
+            f_ext = lax.fori_loop(0, k, one, f_ext)
+            f_loc = f_ext[:, k:-k, :]
+        return f_loc
 
     return stepper(f, solid, is_outlet, is_edge_eq)
 

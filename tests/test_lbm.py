@@ -180,6 +180,21 @@ class TestSharded:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                    rtol=2e-5, atol=2e-6)
 
+    def test_amortised_halo_multi_round(self):
+        """K-step halo exchange: multi-round plus remainder plans must
+        match the single-device evolution (staleness stays in the crop)."""
+        from airfoil_tpu.parallel import batch_mesh
+
+        mesh = batch_mesh(jax.devices()[:4])
+        cfg = LBMConfig(nx=96, ny=48)
+        mask = jnp.asarray(rasterize_airfoil(naca4(2, 4, 12, 40), 6.0, cfg))
+        f0 = equilibrium_init(cfg.ny, cfg.nx, cfg.u0)
+        ref = lbm_step(f0, mask, cfg.u0, cfg.tau, steps=13)
+        out = sharded_lbm_steps(mesh, f0, mask, cfg.u0, cfg.tau, steps=13,
+                                halo_steps=5)   # rounds of 5,5,3
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-6)
+
 
 class TestPathSelection:
     def test_big_grids_avoid_vmem_kernel(self):
