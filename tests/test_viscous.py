@@ -51,6 +51,28 @@ class TestClosures:
         assert float(rate) < 1e-3
 
 
+class TestFalknerSkan:
+    """The laminar two-equation system must reproduce the Falkner-Skan
+    similarity shape factors on ue = x^m power-law edge flows — the
+    decisive check that adverse-gradient laminar H (which drives the e^N
+    amplification rate) carries no closure bias."""
+
+    # (beta, H) from standard similarity tables; beta = 2m/(m+1).
+    ANCHORS = [(0.0, 2.591), (-0.05, 2.676), (-0.10, 2.801),
+               (-0.14, 2.963)]
+
+    @pytest.mark.parametrize("beta,h_ref", ANCHORS)
+    def test_equilibrium_shape_factor(self, beta, h_ref):
+        n = 256
+        x = jnp.linspace(1e-3, 1.0, n)
+        m = beta / (2.0 - beta)
+        ue = x**m
+        bl = march_side(x, ue, x, 1.0 / 5e5, 1e9, 2.0)  # no transition
+        hk = np.asarray(bl.dstar) / np.maximum(np.asarray(bl.theta), 1e-12)
+        h_mid = float(np.median(hk[n // 3: 2 * n // 3]))
+        assert abs(h_mid - h_ref) / h_ref < 0.01
+
+
 class TestFlatPlate:
     def _march(self, re, n_crit=30.0, xtrip=1.0):
         nu = 1.0 / re
