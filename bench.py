@@ -19,6 +19,12 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Persistent compiled-kernel cache: repeat bench runs (and the server,
+# which shares the cache) skip the multi-minute cold compiles.
+from airfoil_tpu.api.handlers import _enable_persistent_compile_cache
+
+_enable_persistent_compile_cache()
+
 BASELINE_POINTS_PER_SEC = 1.0 / 30.0
 BASELINE_LBM_MLUPS = 12.3
 
