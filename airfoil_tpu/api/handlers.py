@@ -81,11 +81,23 @@ def start_warmup():
     def _warm():
         try:
             from airfoil_tpu.models import naca4
-            from airfoil_tpu.polar import analyze_airfoil
+            from airfoil_tpu.polar import analyze_airfoil, solve_polar
 
+            coords = naca4(2, 4, 12, 60)
+            # The polar pipeline first: /polar/ is the flagship endpoint
+            # and its kernels (batched pass + walk + rescue) are the
+            # biggest compiles. A -10..20 sweep lands in the 32-point
+            # bucket every served sweep up to 32 points then reuses, and
+            # exercises the rescue (stall-region failures), so a cold
+            # server's first /polar/ request runs compile-free.
             t0 = time.perf_counter()
-            analyze_airfoil(naca4(2, 4, 12, 60), reynolds=1e6, alpha=14.0)
-            logger.info("solver warmup done in %.1fs",
+            alphas = np.arange(-10.0, 20.5, 1.0, dtype=np.float32)
+            solve_polar(np.asarray(coords, np.float32), alphas, 1e6)
+            logger.info("polar warmup done in %.1fs",
+                        time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            analyze_airfoil(coords, reynolds=1e6, alpha=14.0)
+            logger.info("analysis warmup done in %.1fs",
                         time.perf_counter() - t0)
         except Exception as e:       # pragma: no cover - warmup is best-effort
             logger.warning("solver warmup failed: %s", e)

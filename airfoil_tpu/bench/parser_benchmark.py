@@ -141,9 +141,10 @@ def run_benchmark(files: list[str], out_dir: str) -> dict:
         raw = raw_coords_from_file(path)
         try:
             parsed, fixes = parse_dat_file(path)
-            parse_error = ""
+            parse_error, parse_code = "", ""
         except AirfoilParseError as e:
             parsed, fixes, parse_error = None, [], e.detail
+            parse_code = e.code
         # Multi-element probe on the PARSED loop (a raw Lednicer stream
         # counts two LE passes; the reference also probes after parsing,
         # airfoil_parser_benchmark.py:502-507).
@@ -152,6 +153,7 @@ def run_benchmark(files: list[str], out_dir: str) -> dict:
             "name": name, "multi_element": multi,
             "n_raw": len(raw), "n_parsed": len(parsed) if parsed else 0,
             "fixes": "; ".join(fixes), "parse_error": parse_error,
+            "parse_error_code": parse_code,
         })
         raw_geoms.append(np.asarray(raw) if len(raw) >= 5 else None)
         parsed_geoms.append(np.asarray(parsed) if parsed else None)
@@ -187,9 +189,7 @@ def run_benchmark(files: list[str], out_dir: str) -> dict:
     # includes them, and counting those as "parser errors" misread as a
     # robustness gap.
     degenerate = sum(1 for r in rows
-                     if r["parse_error"]
-                     and "Insufficient valid coordinates" in
-                     r["parse_error"])
+                     if r.get("parse_error_code") == "too_few_points")
     parser_errors = sum(1 for r in rows if r["parse_error"]) - degenerate
 
     summary = {

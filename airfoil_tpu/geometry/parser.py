@@ -52,10 +52,15 @@ class AirfoilParseError(ValueError):
     onto the reference's HTTPException(400) behaviour (main.py:99,113).
     """
 
-    def __init__(self, detail: str, status_code: int = 400):
+    def __init__(self, detail: str, status_code: int = 400,
+                 code: str = "parse_error"):
         super().__init__(detail)
         self.detail = detail
         self.status_code = status_code
+        # Machine-readable reason (e.g. "too_few_points") so tooling like
+        # the parser benchmark classifies on a stable field instead of
+        # substring-matching user-facing text.
+        self.code = code
 
 
 def parse_dat_text(text: str) -> tuple[list[list[float]], list[str]]:
@@ -103,7 +108,8 @@ def parse_dat_text(text: str) -> tuple[list[list[float]], list[str]]:
 
     if len(data_lines) < MIN_VALID_POINTS:
         raise AirfoilParseError(
-            f"Insufficient valid coordinates. Found {len(data_lines)} points."
+            f"Insufficient valid coordinates. Found {len(data_lines)} points.",
+            code="too_few_points",
         )
 
     coords, geom_fixes = detect_and_merge_sections(data_lines)

@@ -104,7 +104,8 @@ def parse_dat_native(text: str):
 
         n_valid = -n - 1
         raise AirfoilParseError(
-            f"Insufficient valid coordinates. Found {n_valid} points.")
+            f"Insufficient valid coordinates. Found {n_valid} points.",
+            code="too_few_points")
     skipped_non_coord, skipped_range, flags, n_up, n_lo = (
         counters[0], counters[1], counters[2], counters[3], counters[4])
     coords = [[float(x), float(y)] for x, y in out[:n]]

@@ -4,8 +4,20 @@ The reference has no distributed dimension at all (SURVEY.md section 2:
 its only concurrency is a 3-slot subprocess semaphore). The TPU-native
 scaling axis is the (alpha, Re, airfoil) polar tensor: points are
 embarrassingly parallel, so they shard data-parallel over a 1-D
-``jax.sharding.Mesh`` and XLA keeps each point's whole solve on its chip —
-no collectives on the hot path, ICI only touches the final gather.
+``jax.sharding.Mesh``.
+
+Sharding layout: points are sorted by alpha and split into CONTIGUOUS
+alpha segments, one per device (``shard_map``). Each device runs its own
+batched per-point pass AND its own continuation walk over its local
+segment — the walk's sequential scan never crosses a shard boundary, so
+there is no cross-device serialisation on the hot path; ICI only touches
+the final gather. The price is physics locality: a shard deep in the
+stall region has no attached-flow seed of its own, so its walk re-anchors
+on its best local per-point result instead of continuing from a
+neighbouring shard's donor state (a cross-shard hand-off would serialise
+the devices again, defeating the parallelism). Those few extra failures
+fall through to the inviscid fill exactly like the single-chip
+three-strategy driver.
 
 The LBM grid has a second, spatial axis (see ``airfoil_tpu.lbm``) for
 domain decomposition with halo exchange.
@@ -13,12 +25,22 @@ domain decomposition with halo exchange.
 
 from __future__ import annotations
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from airfoil_tpu.polar.sweep import _polar_kernel
+from airfoil_tpu.inviscid import solve_inviscid
+from airfoil_tpu.polar.sweep import (
+    _N_STATIONS,
+    _op_kernel,
+    _walk,
+    MODE_INVISCID,
+    MODE_VISCOUS,
+)
+from airfoil_tpu.viscous.newton import solve_polar_point
 
 __all__ = ["batch_mesh", "shard_polar_inputs", "sharded_polar"]
 
@@ -30,38 +52,114 @@ def batch_mesh(devices=None) -> Mesh:
 
 
 def shard_polar_inputs(mesh: Mesh, alphas, reynolds):
-    """Pad the point list to a device multiple and place it on the mesh."""
-    alphas = jnp.atleast_1d(jnp.asarray(alphas, jnp.float32))
-    reynolds = jnp.broadcast_to(
-        jnp.asarray(reynolds, jnp.float32), alphas.shape)
+    """Sort by alpha, pad to a device multiple, place on the mesh.
+
+    Sorting first makes each device's block a contiguous alpha segment —
+    the layout the per-shard walk needs. Returns (alphas, reynolds, pad,
+    unsort) where ``unsort`` maps sorted order back to the caller's.
+    """
+    alphas = np.atleast_1d(np.asarray(alphas, np.float32))
+    reynolds = np.broadcast_to(
+        np.asarray(reynolds, np.float32), alphas.shape)
+    order = np.argsort(alphas, kind="stable")
+    alphas = alphas[order]
+    reynolds = reynolds[order]
     n_dev = mesh.devices.size
     pad = (-alphas.shape[0]) % n_dev
     if pad:
-        alphas = jnp.concatenate([alphas, jnp.repeat(alphas[-1:], pad)])
-        reynolds = jnp.concatenate([reynolds, jnp.repeat(reynolds[-1:], pad)])
+        alphas = np.concatenate([alphas, np.repeat(alphas[-1:], pad)])
+        reynolds = np.concatenate([reynolds, np.repeat(reynolds[-1:], pad)])
+    unsort = np.argsort(order, kind="stable")
     sharding = NamedSharding(mesh, P("batch"))
-    return (jax.device_put(alphas, sharding),
-            jax.device_put(reynolds, sharding),
-            pad)
+    return (jax.device_put(jnp.asarray(alphas), sharding),
+            jax.device_put(jnp.asarray(reynolds), sharding),
+            pad, unsort)
+
+
+def _local_polar(op, alphas, reynolds):
+    """One device's polar: batched pass + walk over its local alpha block.
+
+    ``alphas`` here is the device-local block (already sorted ascending).
+    Mirrors the single-chip pipeline minus the smoothed-geometry rescue
+    (strategy 2) — failures go straight to the inviscid fill.
+    """
+    p_local = alphas.shape[0]
+    m1, (nok1, st1) = jax.vmap(
+        lambda a, re_: solve_polar_point(op, a, re_,
+                                         n_stations=_N_STATIONS)
+    )(alphas, reynolds)
+
+    pos0 = jnp.argmin(jnp.abs(alphas))
+    pos = jnp.arange(p_local)
+    a_seq = jnp.concatenate([alphas, alphas[::-1]])
+    re_seq = jnp.concatenate([reynolds, reynolds[::-1]])
+    active = jnp.concatenate([pos >= pos0, jnp.ones_like(pos, bool)])
+    seg_start = jnp.zeros((2 * p_local,), bool).at[p_local].set(True)
+    m1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), m1)
+    nok1_seq = jnp.concatenate([nok1, nok1[::-1]])
+    st1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), st1)
+    state_like = jax.tree.map(lambda x: x[0], st1)
+
+    m_walk, used = _walk(op, a_seq, re_seq, active, seg_start, m1_seq,
+                         nok1_seq, st1_seq, state_like)
+    m_up = jax.tree.map(lambda x: x[:p_local], m_walk)
+    m_dn = jax.tree.map(lambda x: x[p_local:][::-1], m_walk)
+    used_up = used[:p_local]
+    used_dn = used[p_local:][::-1]
+
+    def sel(a, b):
+        pr = jnp.reshape(used_up, used_up.shape + (1,) * (a.ndim - 1))
+        return jnp.where(pr, a, b)
+
+    v1 = jax.tree.map(sel, m_up, m_dn)
+    use1 = jnp.logical_and(v1[4], jnp.logical_or(used_up, used_dn))
+
+    def inv_point(a):
+        r = solve_inviscid(op, a)
+        return r.cl, r.cm
+    cl3, cm3 = jax.vmap(inv_point)(alphas)
+
+    one = jnp.ones_like(alphas)
+    cl = jnp.where(use1, v1[0], cl3)
+    cd = jnp.where(use1, v1[1], 0.0 * one)
+    cdp = jnp.where(use1, v1[2], 0.0 * one)
+    cm = jnp.where(use1, v1[3], cm3)
+    xtru = jnp.where(use1, v1[5], one)
+    xtrl = jnp.where(use1, v1[6], one)
+    sep = jnp.where(use1, v1[7], 0.0 * one)
+    mode = jnp.where(use1, MODE_VISCOUS, MODE_INVISCID)
+    converged = jnp.ones_like(use1)
+    return (cl, cd, cdp, cm, mode.astype(jnp.int32), converged,
+            xtru, xtrl, sep)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _sharded_kernel(op, alphas, reynolds, mesh):
+    spec_op = jax.tree.map(lambda _: P(), op)
+    # check_vma off: the walk's scan carries initialise from unvarying
+    # constants (False/zeros) and become device-varying on the first
+    # accepted point — semantically fine (everything here is per-shard
+    # local with no collectives), but the VMA consistency check would
+    # demand pcast noise through the shared _walk code.
+    fn = jax.shard_map(
+        _local_polar, mesh=mesh,
+        in_specs=(spec_op, P("batch"), P("batch")),
+        out_specs=P("batch"), check_vma=False)
+    return fn(op, alphas, reynolds)
 
 
 def sharded_polar(mesh: Mesh, coords, alphas, reynolds, n_panels: int = 160):
     """Run a polar with points sharded data-parallel across the mesh.
 
-    Returns the same tuple as the single-chip polar kernel, with any
-    padding stripped.
+    Returns the same tuple as the single-chip polar kernel (in the
+    caller's point order, padding stripped).
     """
     coords = jnp.asarray(np.asarray(coords, np.float32))
-    a_sh, re_sh, pad = shard_polar_inputs(mesh, alphas, reynolds)
+    a_sh, re_sh, pad, unsort = shard_polar_inputs(mesh, alphas, reynolds)
     replicated = NamedSharding(mesh, P())
-    coords = jax.device_put(coords, replicated)
-
-    fn = jax.jit(
-        lambda c, a, r: _polar_kernel.__wrapped__(c, a, r, n_panels),
-        in_shardings=(replicated, NamedSharding(mesh, P("batch")),
-                      NamedSharding(mesh, P("batch"))),
-    )
-    out = fn(coords, a_sh, re_sh)
+    op, _xp, _yp = _op_kernel(jax.device_put(coords, replicated), n_panels)
+    out = _sharded_kernel(op, a_sh, re_sh, mesh)
+    out = tuple(np.asarray(o) for o in out)
     if pad:
         out = tuple(o[:-pad] for o in out)
-    return out
+    return tuple(o[unsort] for o in out)

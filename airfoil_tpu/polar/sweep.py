@@ -98,11 +98,20 @@ def _trend_ok(a, cl, cd, hist):
     # known; curvature-scale slack when extrapolating from two.
     band_cl = jnp.where(two, 0.045 + 0.05 * jnp.abs(da),
                         0.05 + 0.13 * jnp.abs(da))
-    band_cd = jnp.where(two,
-                        jnp.maximum(0.0015, 0.30 * jnp.abs(cd_pred)),
-                        jnp.maximum(0.0030, 0.50 * jnp.abs(cd_pred)))
+    # The CD band is asymmetric: wrong-basin errors are CD *collapses*
+    # (a near-inviscid thin-BL solution reads half the physical drag),
+    # while genuine sharp stall rollover is CD *growth* that can exceed
+    # 30%/degree — so the band admits roughly twice as much positive
+    # deviation as negative before rejecting a converged point.
+    band_cd_up = jnp.where(two,
+                           jnp.maximum(0.0030, 0.60 * jnp.abs(cd_pred)),
+                           jnp.maximum(0.0060, 0.90 * jnp.abs(cd_pred)))
+    band_cd_dn = jnp.where(two,
+                           jnp.maximum(0.0015, 0.30 * jnp.abs(cd_pred)),
+                           jnp.maximum(0.0030, 0.50 * jnp.abs(cd_pred)))
     cl_ok = jnp.abs(cl - cl_pred) <= band_cl
-    cd_ok = jnp.abs(cd - cd_pred) <= band_cd
+    cd_ok = jnp.logical_and(cd - cd_pred <= band_cd_up,
+                            cd_pred - cd <= band_cd_dn)
     return jnp.logical_or(n_acc < 1, jnp.logical_and(cl_ok, cd_ok))
 
 
@@ -196,20 +205,38 @@ def _walk(op, a_seq, re_seq, active, seg_start, m1_seq, nok1_seq, st1_seq,
 
 
 @partial(jax.jit, static_argnames=("n_panels",))
-def _polar_kernel(coords, alphas, reynolds, n_panels=160):
-    """The single-dispatch polar (see module docstring)."""
+def _op_kernel(coords, n_panels=160):
+    """Repanel + inviscid operator build (shared by pass 1 and the walk)."""
     xp, yp = repanel(coords, n_panels)
-    pan = panel_geometry(xp, yp)
-    op = build_operator(pan)
-    p_total = alphas.shape[0]
+    return build_operator(panel_geometry(xp, yp)), xp, yp
 
-    # ── pass 1: batched per-point solves ────────────────────────────────
-    m1, (nok1, st1) = jax.vmap(
+
+@partial(jax.jit, static_argnames=("n_panels",))
+def _op_kernel_smoothed(coords, n_panels=160):
+    """Operator on the smoothed geometry (reference Strategy 2)."""
+    xp, yp = repanel(coords, n_panels)
+    xs, ys = smooth_geometry(xp, yp)
+    return build_operator(panel_geometry(xs, ys))
+
+
+@jax.jit
+def _points_kernel(op, alphas, reynolds):
+    """Pass 1: batched per-point solves (one vmapped LM-Newton batch)."""
+    return jax.vmap(
         lambda a, re_: solve_polar_point(op, a, re_,
                                          n_stations=_N_STATIONS)
     )(alphas, reynolds)
 
-    # ── pass 2: the continuation walk (audit + repair + extend) ─────────
+
+@jax.jit
+def _walk_kernel(op, alphas, reynolds, m1, nok1, st1):
+    """Pass 2: the continuation walk (audit + repair + extend), plus the
+    cheap inviscid per-point fill used by Strategy 3.
+
+    Returns (v1, cl3, cm3): the audited walk output tuple (slot 4 = point
+    accepted by strategy 1) and the inviscid CL/Cm fill.
+    """
+    p_total = alphas.shape[0]
     order = jnp.argsort(alphas)
     inv = jnp.argsort(order)
     a_s = alphas[order]
@@ -222,12 +249,16 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
 
     # Segment 1 ascends from the point nearest alpha = 0 (the seed region
     # where per-point solves are most reliable) to the top; segment 2
-    # descends over the WHOLE range. The carry flows continuously through
-    # the turn (both segments are active there, so the direction-start
-    # reset does not fire), which is what lets the descent repair a
-    # failed low-alpha region from donors above it — e.g. the Re ~ 2e5
-    # bubble regime, where per-point solves only converge from alpha ~ 3
-    # up and every point below needs a downward continuation chain.
+    # descends over the WHOLE range. seg_start fires the walk's turn
+    # reset at the descent's first step: history and failcnt zero, and the
+    # carried state stays but is unusable until the descent re-anchors on
+    # a trusted per-point result (see _walk's docstring — without the
+    # reset, one smoothly-wrong post-stall carry from the ascent's tail
+    # poisons the whole downward pass). Because the descent spans the FULL
+    # range, it can still repair a failed low-alpha region from donors
+    # above it once re-anchored — e.g. the Re ~ 2e5 bubble regime, where
+    # per-point solves only converge from alpha ~ 3 up and every point
+    # below needs a downward continuation chain.
     a_seq = jnp.concatenate([a_s, a_s[::-1]])
     re_seq = jnp.concatenate([re_s, re_s[::-1]])
     active = jnp.concatenate([pos >= pos0, jnp.ones_like(pos, bool)])
@@ -254,56 +285,81 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
     # never accepted is unconverged regardless of what slot 4 says.
     v1 = v1[:4] + (jnp.logical_and(v1[4], walk_used),) + v1[5:]
 
-    # ── pass 3: smoothed-geometry rescue (reference Strategy 2) ─────────
-    # Only the points that actually failed re-solve, gathered into a
-    # fixed-size bucket (static shapes under jit): a handful of failures
-    # costs a B-wide batched solve instead of a full P-wide one. Polars
-    # with more than B failed points leave the excess to the inviscid
-    # fill — by that stage they are deep post-stall anyway.
-    use1 = v1[4]
-    fail = jnp.logical_not(use1)
-    needs_s2 = jnp.any(fail)
-    bucket = min(8, p_total)
-    idx_b = jnp.argsort(jnp.logical_not(fail))[:bucket]
-    valid_b = fail[idx_b]
-    a_b = alphas[idx_b]
-    re_b = reynolds[idx_b]
-
-    def run_s2(_):
-        xs, ys = smooth_geometry(xp, yp)
-        op_s = build_operator(panel_geometry(xs, ys))
-        out, _extra = jax.vmap(
-            lambda a, re_: solve_polar_point(op_s, a, re_,
-                                             n_stations=_N_STATIONS)
-        )(a_b, re_b)
-        return out
-
-    def skip_s2(_):
-        return jax.tree.map(
-            lambda x: jnp.zeros((bucket,) + x.shape[1:], x.dtype), m1)
-
-    out_b = jax.lax.cond(needs_s2, run_s2, skip_s2, operand=None)
-    v2 = jax.tree.map(
-        lambda xb, tmpl: jnp.zeros_like(tmpl).at[idx_b].set(
-            jnp.where(
-                jnp.reshape(valid_b, valid_b.shape
-                            + (1,) * (xb.ndim - 1)), xb,
-                jnp.zeros_like(xb))),
-        out_b, m1)
-
-    # ── pass 4: inviscid fill (reference Strategy 3) ────────────────────
+    # Inviscid per-point fill (reference Strategy 3) — cheap, so it rides
+    # in this dispatch rather than paying its own.
     def inv_point(a):
         r = solve_inviscid(op, a)
         return r.cl, r.cm
     cl3, cm3 = jax.vmap(inv_point)(alphas)
+    return v1, cl3, cm3
 
-    use2 = jnp.logical_and(jnp.logical_not(use1), v2[4])
-    use3 = jnp.logical_not(jnp.logical_or(use1, use2))
+
+@jax.jit
+def _rescue_kernel(op_s, a_b, re_b):
+    """Pass 3: smoothed-geometry rescue (reference Strategy 2), on the
+    failed-point bucket only. Dispatched (and first compiled) only when a
+    polar actually has failures."""
+    out, _extra = jax.vmap(
+        lambda a, re_: solve_polar_point(op_s, a, re_,
+                                         n_stations=_N_STATIONS)
+    )(a_b, re_b)
+    return out
+
+
+def _polar_kernel(coords, alphas, reynolds, n_panels=160):
+    """The polar pipeline (see module docstring).
+
+    Host-side orchestrator over four jitted dispatches (operator build,
+    batched per-point pass, continuation walk + inviscid fill, and the
+    lazily-compiled smoothed-geometry rescue). Splitting the old single
+    mega-jit into these units cut the cold-compile wall time to a third:
+    XLA's optimisation passes are superlinear in module size, each unit is
+    independently served by the persistent compile cache, and a clean
+    polar never compiles the rescue at all. The only host round-trip
+    between dispatches is the (P,)-bool failure mask.
+    """
+    import numpy as np
+
+    p_total = int(alphas.shape[0])
+    op, _xp, _yp = _op_kernel(coords, n_panels)
+    m1, (nok1, st1) = _points_kernel(op, alphas, reynolds)
+    v1, cl3, cm3 = _walk_kernel(op, alphas, reynolds, m1, nok1, st1)
+
+    use1 = np.asarray(v1[4])
+    v2_ok = np.zeros(p_total, bool)
+    v2 = None
+    if not use1.all():
+        # Failed points gather into a fixed-size bucket (stable shape ->
+        # one cached compile): a handful of failures costs a B-wide batched
+        # solve instead of a full P-wide one. Polars with more than B
+        # failed points leave the excess to the inviscid fill — by that
+        # stage they are deep post-stall anyway.
+        bucket = min(8, p_total)
+        idx_b = np.argsort(use1, kind="stable")[:bucket]
+        op_s = _op_kernel_smoothed(coords, n_panels)
+        out_b = _rescue_kernel(op_s, alphas[jnp.asarray(idx_b)],
+                               reynolds[jnp.asarray(idx_b)])
+        out_b = [np.asarray(x) for x in out_b]
+        valid_b = ~use1[idx_b]
+        v2 = [np.zeros((p_total,) + x.shape[1:], x.dtype) for x in out_b]
+        for slot, xb in enumerate(out_b):
+            v2[slot][idx_b] = np.where(valid_b, xb, 0.0 * xb)
+        v2_ok = np.zeros(p_total, bool)
+        v2_ok[idx_b] = valid_b & out_b[4].astype(bool)
+
+    # ── final selection (reference's three-strategy precedence) ─────────
+    v1 = [np.asarray(x) for x in v1]
+    cl3 = np.asarray(cl3)
+    cm3 = np.asarray(cm3)
+    if v2 is None:
+        v2 = [np.zeros_like(x) for x in v1]
+    use2 = ~use1 & v2_ok
+    use3 = ~(use1 | use2)
 
     def pick(i1, i2, i3):
-        return jnp.where(use1, i1, jnp.where(use2, i2, i3))
+        return np.where(use1, i1, np.where(use2, i2, i3))
 
-    one = jnp.ones_like(alphas)
+    one = np.ones(p_total, cl3.dtype)
     cl = pick(v1[0], v2[0], cl3)
     cd = pick(v1[1], v2[1], 0.0 * one)      # inviscid: CD unrealistically 0
     cdp = pick(v1[2], v2[2], 0.0 * one)
@@ -311,10 +367,25 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
     xtru = pick(v1[5], v2[5], one)
     xtrl = pick(v1[6], v2[6], one)
     sep = pick(v1[7], v2[7], 0.0 * one)
-    mode = jnp.where(use1, MODE_VISCOUS,
-                     jnp.where(use2, MODE_VISCOUS_SMOOTHED, MODE_INVISCID))
-    converged = jnp.logical_or(use1, jnp.logical_or(use2, use3))
+    mode = np.where(use1, MODE_VISCOUS,
+                    np.where(use2, MODE_VISCOUS_SMOOTHED, MODE_INVISCID))
+    converged = use1 | use2 | use3
     return cl, cd, cdp, cm, mode, converged, xtru, xtrl, sep
+
+
+# Point-count buckets: a polar of any length pads (duplicating its last
+# point) up to the next bucket so every served sweep shares one of a
+# handful of compiled kernel shapes — without this, each distinct alpha
+# count would pay its own multi-minute cold compile (the server warms the
+# 32 bucket, which covers the UI's default sweeps).
+_P_BUCKETS = (8, 16, 32, 64, 128)
+
+
+def _bucket_size(p: int) -> int:
+    for b in _P_BUCKETS:
+        if p <= b:
+            return b
+    return ((p + 63) // 64) * 64
 
 
 def solve_polar(
@@ -323,7 +394,7 @@ def solve_polar(
     reynolds,
     n_panels: int = 160,
 ) -> PolarResult:
-    """Run a whole polar in one dispatch.
+    """Run a whole polar in one pipeline of batched dispatches.
 
     ``alphas`` and ``reynolds`` are broadcast against each other: pass a
     scalar Re with an alpha vector for a classic polar, or equal-length
@@ -338,7 +409,15 @@ def solve_polar(
     alphas = jnp.atleast_1d(jnp.asarray(alphas, jnp.float32))
     reynolds = jnp.broadcast_to(
         jnp.asarray(reynolds, jnp.float32), alphas.shape)
-    cl, cd, cdp, cm, mode, conv, xtru, xtrl, sep = _polar_kernel(
-        coords, alphas, reynolds, n_panels)
+    p = int(alphas.shape[0])
+    pad = _bucket_size(p) - p
+    a_in, re_in = alphas, reynolds
+    if pad:
+        a_in = jnp.concatenate([a_in, jnp.repeat(a_in[-1:], pad)])
+        re_in = jnp.concatenate([re_in, jnp.repeat(re_in[-1:], pad)])
+    out = _polar_kernel(coords, a_in, re_in, n_panels)
+    if pad:
+        out = tuple(o[:p] for o in out)
+    cl, cd, cdp, cm, mode, conv, xtru, xtrl, sep = out
     return PolarResult(alphas, reynolds, cl, cd, cdp, cm, mode, conv,
                        xtru, xtrl, sep)

@@ -1,7 +1,12 @@
 """Headline benchmark: viscous polar throughput (+ LBM MLUPS when built).
 
-Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "extra": {...}}
+Prints the required JSON record line FIRST, the moment the polar bench
+finishes — the LBM numbers follow on a second line so a slow or hung LBM
+compile can never zero the whole record (the round-2 failure mode: the
+driver's 10-minute timeout fired before any output).
+
+  line 1: {"metric": "viscous_polar_points_per_sec", ...}
+  line 2: {"metric": "lbm_mlups", ...}            (best-effort)
 
 Baseline: the reference computes each polar point as one XFOIL subprocess
 round-trip quoted at 30-60 s on its hosting tier (reference
@@ -13,14 +18,14 @@ is the browser tunnel's ~12.3 MLUPS (SURVEY.md section 6).
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
-import jax
-import jax.numpy as jnp
 import numpy as np
 
 # Persistent compiled-kernel cache: repeat bench runs (and the server,
-# which shares the cache) skip the multi-minute cold compiles.
+# which shares the cache) skip the cold compiles.
 from airfoil_tpu.api.handlers import _enable_persistent_compile_cache
 
 _enable_persistent_compile_cache()
@@ -31,38 +36,33 @@ BASELINE_LBM_MLUPS = 12.3
 
 def bench_polar():
     from airfoil_tpu.models import naca4
-    from airfoil_tpu.polar.sweep import _polar_kernel
+    from airfoil_tpu.polar import solve_polar
 
-    coords = jnp.asarray(np.asarray(naca4(2, 4, 12, 100), np.float32))
-    alphas = jnp.arange(-10.0, 20.5, 1.0, dtype=jnp.float32)  # 31 points
-    res = jnp.arange(31, dtype=jnp.float32) * 0.0 + 1e6
+    coords = np.asarray(naca4(2, 4, 12, 100), np.float32)
+    alphas = np.arange(-10.0, 20.5, 1.0, dtype=np.float32)  # 31 points
 
-    from airfoil_tpu.utils.profiling import device_sync
-
-    # Warm up (compile).
-    out = _polar_kernel(coords, alphas, res)
-    device_sync(out[0])
+    # Warm up (compile). solve_polar IS the served product path (incl. the
+    # bucket padding) and returns host arrays, so completion is inherent.
+    out = solve_polar(coords, alphas, 1e6)
 
     n_rep = 3
     t0 = time.perf_counter()
     for rep in range(n_rep):
         # Perturb inputs so no layer can serve a cached execution.
-        out = _polar_kernel(coords, alphas + 0.001 * rep, res)
-        device_sync(out[0])  # forced fetch: block_until_ready can lie here
+        out = solve_polar(coords, alphas + 0.001 * rep, 1e6)
+        np.asarray(out.cl).sum()
     dt = (time.perf_counter() - t0) / n_rep
 
     n_points = int(alphas.shape[0])
-    pps = n_points / dt
-    # Mode accounting. The old "converged_fraction" was use1|use2|use3 which
-    # is identically 1.0 (the inviscid fill always "converges") — report the
-    # viscous-mode fraction instead: the share of polar points carrying a
-    # real viscous solution (mode != MODE_INVISCID).
-    mode = np.asarray(out[4])
+    # Mode accounting: the share of polar points carrying a real viscous
+    # solution (mode != MODE_INVISCID) — the honest convergence metric
+    # (the inviscid fill always "converges").
+    mode = np.asarray(out.mode)
     n_visc = int(np.sum(mode == 0))
     n_smooth = int(np.sum(mode == 1))
     n_inv = int(np.sum(mode == 2))
     return {
-        "points_per_sec": pps,
+        "points_per_sec": n_points / dt,
         "polar_seconds": dt,
         "n_points": n_points,
         "viscous_fraction": (n_visc + n_smooth) / n_points,
@@ -71,17 +71,30 @@ def bench_polar():
     }
 
 
-def bench_lbm():
+def _parity_extra():
+    """Accuracy alongside speed: the checked-in parity report (regenerated
+    by `python -m airfoil_tpu.bench.parity` through the product path).
+    Read, not recomputed — a parity run costs several solver compiles and
+    belongs to its own harness."""
     try:
-        from airfoil_tpu.lbm import bench_mlups
-    except ImportError:
+        rep = os.path.join(os.path.dirname(__file__), "airfoil_tpu",
+                           "bench", "results", "parity_report.json")
+        with open(rep) as f:
+            parity = json.load(f)
+        return {
+            "median_abs_cl_dev_pct": parity["median_abs_cl_dev_pct"],
+            "median_abs_cd_dev_pct": parity["median_abs_cd_dev_pct"],
+            "converged_fraction": parity["converged_fraction"],
+            "ground_truth": parity["ground_truth"],
+        }
+    except Exception:
         return None
-    return bench_mlups()
 
 
 def main():
+    import jax
+
     polar = bench_polar()
-    lbm = bench_lbm()
 
     extra = {
         "polar_seconds_31pts": round(polar["polar_seconds"], 4),
@@ -89,30 +102,11 @@ def main():
         "mode_counts": polar["mode_counts"],
         "device": str(jax.devices()[0]),
     }
-    if lbm is not None:
-        extra["lbm_mlups"] = round(lbm["mlups"], 1)
-        extra["lbm_vs_baseline"] = round(lbm["mlups"] / BASELINE_LBM_MLUPS, 1)
+    parity = _parity_extra()
+    if parity is not None:
+        extra["parity"] = parity
 
-    # Accuracy alongside speed: the checked-in parity report (regenerated
-    # by `python -m airfoil_tpu.bench.parity` through the product path;
-    # see airfoil_tpu/bench/results/). Read, not recomputed — a parity run
-    # costs several solver compiles and belongs to its own harness.
-    try:
-        import os
-
-        rep = os.path.join(os.path.dirname(__file__), "airfoil_tpu",
-                           "bench", "results", "parity_report.json")
-        with open(rep) as f:
-            parity = json.load(f)
-        extra["parity"] = {
-            "median_abs_cl_dev_pct": parity["median_abs_cl_dev_pct"],
-            "median_abs_cd_dev_pct": parity["median_abs_cd_dev_pct"],
-            "converged_fraction": parity["converged_fraction"],
-            "ground_truth": parity["ground_truth"],
-        }
-    except Exception:
-        pass
-
+    # The record line, flushed BEFORE anything else runs.
     print(json.dumps({
         "metric": "viscous_polar_points_per_sec",
         "value": round(polar["points_per_sec"], 2),
@@ -120,8 +114,34 @@ def main():
         "vs_baseline": round(
             polar["points_per_sec"] / BASELINE_POINTS_PER_SEC, 1),
         "extra": extra,
-    }))
+    }), flush=True)
+
+    # LBM throughput, best-effort second line: the bench (throughput) grid
+    # and the served interactive grid both, so the headline GLUPS is not
+    # mistaken for the interactive rate.
+    try:
+        from airfoil_tpu.lbm import bench_mlups
+
+        lbm = bench_mlups()
+        lbm_extra = {"grid": lbm["grid"], "steps": lbm["steps"],
+                     "pallas": lbm["pallas"]}
+        try:
+            lbm_i = bench_mlups(nx=384, ny=192)
+            lbm_extra["interactive_grid"] = lbm_i["grid"]
+            lbm_extra["interactive_mlups"] = round(lbm_i["mlups"], 1)
+        except Exception:
+            pass
+        print(json.dumps({
+            "metric": "lbm_mlups",
+            "value": round(lbm["mlups"], 1),
+            "unit": "MLUPS",
+            "vs_baseline": round(lbm["mlups"] / BASELINE_LBM_MLUPS, 1),
+            "extra": lbm_extra,
+        }), flush=True)
+    except Exception as e:
+        print(json.dumps({"metric": "lbm_mlups", "value": None,
+                          "error": str(e)[:200]}), flush=True)
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
