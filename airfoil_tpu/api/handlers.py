@@ -157,6 +157,48 @@ def handle_health():
     }
 
 
+def _write_run_log(run_id: str, filename: str, reynolds: float,
+                   alpha: float, n_coords: int, parser_fixes: list,
+                   result, elapsed: float):
+    """Per-run solver artifact, the reference's ``xfoil_output.log``
+    analog (reference main.py:404-415 dumps params + full XFOIL stdout
+    per run as its main debugging affordance). One file per request under
+    AIRFOIL_TPU_RUN_LOG_DIR (default /tmp/airfoil_tpu_runs; set empty to
+    disable); best-effort, bounded to the newest ~200 files."""
+    import os
+
+    log_dir = os.environ.get("AIRFOIL_TPU_RUN_LOG_DIR",
+                             "/tmp/airfoil_tpu_runs")
+    if not log_dir:
+        return
+    try:
+        os.makedirs(log_dir, exist_ok=True)
+        entries = sorted(os.listdir(log_dir))
+        for stale in entries[:-200]:
+            try:
+                os.unlink(os.path.join(log_dir, stale))
+            except OSError:
+                pass
+        path = os.path.join(
+            log_dir, f"{time.strftime('%Y%m%d-%H%M%S')}_{run_id}.log")
+        with open(path, "w") as f:
+            f.write(f"run_id: {run_id}\nfile: {filename}\n"
+                    f"reynolds: {reynolds:g}\nalpha: {alpha:g}\n"
+                    f"n_coords: {n_coords}\n"
+                    f"elapsed_seconds: {elapsed:.3f}\n"
+                    f"mode: {result.mode}\nstrategy: {result.strategy}\n"
+                    f"converged: {result.converged}\n"
+                    f"sep_fraction: {result.sep_fraction:.4f}\n"
+                    f"coefficients: {result.coefficients}\n"
+                    f"parser_fixes:\n")
+            for fix in parser_fixes:
+                f.write(f"  - {fix}\n")
+            if result.extras:
+                f.write(f"extras: {result.extras}\n")
+    except Exception as e:           # pragma: no cover - never block a reply
+        logger.warning("run log write failed: %s", e)
+
+
 def handle_upload(filename: str, content: bytes,
                   reynolds: float, alpha: float):
     validate_envelope(reynolds, alpha)
@@ -169,9 +211,11 @@ def handle_upload(filename: str, content: bytes,
 
     t0 = time.perf_counter()
     result = analyze_airfoil(coords, reynolds, alpha)
+    elapsed = time.perf_counter() - t0
     logger.info("request %s done in %.3fs (mode=%s strategy=%d)",
-                run_id, time.perf_counter() - t0, result.mode,
-                result.strategy)
+                run_id, elapsed, result.mode, result.strategy)
+    _write_run_log(run_id, filename, reynolds, alpha, len(coords),
+                   parser_fixes, result, elapsed)
     # Result-sanity warnings (reference main.py:499-502 logs the same two
     # checks): a viscous CD below the flat-plate floor at this Re, or an
     # implausibly high L/D, usually means a wrong-basin solve slipped

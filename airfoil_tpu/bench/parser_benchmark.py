@@ -130,7 +130,8 @@ def _batched_success(geometries: list[np.ndarray]) -> list[bool]:
     return [r and m for r, m in zip(results, ok_mask)]
 
 
-def run_benchmark(files: list[str], out_dir: str) -> dict:
+def run_benchmark(files: list[str], out_dir: str,
+                  corpus: str = "synthetic") -> dict:
     os.makedirs(out_dir, exist_ok=True)
     t_start = time.time()
 
@@ -208,6 +209,7 @@ def run_benchmark(files: list[str], out_dir: str) -> dict:
         "both_failed": both_failed,
         "parser_errors": parser_errors,
         "degenerate_rejected": degenerate,
+        "corpus": corpus,
         "elapsed_seconds": round(time.time() - t_start, 1),
     }
 
@@ -238,18 +240,22 @@ def main():
     args = ap.parse_args()
 
     if args.data_dir:
+        from airfoil_tpu.bench.uiuc import corpus_kind
+
+        corpus = corpus_kind(args.data_dir)
         files = sorted(
             os.path.join(r, f)
             for r, _d, fs in os.walk(args.data_dir)
             for f in fs if f.lower().endswith(".dat"))
     else:
+        corpus = "synthetic"
         from airfoil_tpu.bench.corpus import generate_corpus
 
         files = generate_corpus(os.path.join(args.out, "corpus"),
                                 n=args.synthetic)
     if args.limit:
         files = files[: args.limit]
-    summary = run_benchmark(files, args.out)
+    summary = run_benchmark(files, args.out, corpus=corpus)
     print(json.dumps(summary, indent=2))
 
 

@@ -380,12 +380,32 @@ def _polar_kernel(coords, alphas, reynolds, n_panels=160):
 # 32 bucket, which covers the UI's default sweeps).
 _P_BUCKETS = (8, 16, 32, 64, 128)
 
+# Input-coordinate buckets: every distinct UPLOADED point count would
+# otherwise recompile the operator kernel (its signature includes the raw
+# loop shape). Padding by repeating the trailing point is bit-exact
+# through ``repanel``: the duplicated nodes add zero-length arc segments
+# at the very end of the loop, which the arc-length interpolation never
+# lands inside. 128 covers nearly every real .dat file (UIUC loops run
+# ~26-121 points); 192 covers generated NACA geometries at test/benchmark
+# densities.
+_C_BUCKETS = (128, 192, 256)
+
 
 def _bucket_size(p: int) -> int:
     for b in _P_BUCKETS:
         if p <= b:
             return b
     return ((p + 63) // 64) * 64
+
+
+def _pad_coords(coords):
+    m = int(coords.shape[0])
+    target = next((b for b in _C_BUCKETS if m <= b),
+                  ((m + 63) // 64) * 64)
+    if target == m:
+        return coords
+    tail = jnp.broadcast_to(coords[-1:], (target - m, coords.shape[1]))
+    return jnp.concatenate([coords, tail])
 
 
 def solve_polar(
@@ -405,7 +425,7 @@ def solve_polar(
     layer scales smoothly in Re), and the trend audit spans them with its
     slope term, so classic fixed-Re polars are the best-tested shape.
     """
-    coords = jnp.asarray(coords, jnp.float32)
+    coords = _pad_coords(jnp.asarray(coords, jnp.float32))
     alphas = jnp.atleast_1d(jnp.asarray(alphas, jnp.float32))
     reynolds = jnp.broadcast_to(
         jnp.asarray(reynolds, jnp.float32), alphas.shape)

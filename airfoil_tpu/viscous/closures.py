@@ -82,8 +82,19 @@ def amplification_rate(hk, theta, ret):
     """e^N envelope amplification dn~/ds (Drela's 1989 fit).
 
     Returns the spatial growth rate of the envelope amplification factor;
-    zero below the critical Re_theta (smoothly ramped over half a decade so
-    the march stays differentiable).
+    zero below the critical Re_theta, smoothstepped on over the 0.16
+    decades above it (XFOIL's RNORM ramp) so the march stays
+    differentiable.
+
+    NOTE on transition-location parity: an Hk-band calibration of this
+    rate was tried (round 3) to close the gap to XFOIL's later airfoil
+    transitions (0012@1e6 alpha=0: 0.64 here vs XFOIL 0.737) and
+    REJECTED: any suppression strong enough to matter moves the
+    flat-plate e^N answer (Re_x ~ 2.6-3.5e6 at n_crit=9, a pinned test)
+    far outside published data, while XFOIL reproduces both with the same
+    fits. The residual airfoil gap therefore lives in the coupled FIELD
+    (aft displacement flattening the mid-chord deceleration, hence lower
+    Hk where growth accumulates), not in this closure.
     """
     hk = jnp.clip(hk, 2.1, 12.0)
     theta = jnp.maximum(theta, 1e-12)

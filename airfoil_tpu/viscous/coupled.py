@@ -177,7 +177,13 @@ def _smooth_clip_derivative(xi, mval, clip=2.0):
 
 
 def _sigma_from_sides(pan, s0, xi_u, m_u, xi_l, m_l):
-    """Map per-side mass defect m = Ue*dstar to panel source strengths."""
+    """Map per-side mass defect m = Ue*dstar to panel source strengths.
+
+    Smoothed-gradient variant, used by the DIRECT under-relaxed iteration
+    only: that fixed-point loop is merely neutrally stable against
+    short-wave sigma modes and needs the damping. The simultaneous Newton
+    system uses the sharp panel-consistent ``_sigma_nodal_from_sides``.
+    """
     sig_u = _smooth_clip_derivative(xi_u, m_u)
     sig_l = _smooth_clip_derivative(xi_l, m_l)
     s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
@@ -189,6 +195,61 @@ def _sigma_from_sides(pan, s0, xi_u, m_u, xi_l, m_l):
         jnp.interp(xi_panel_l, xi_l, sig_l),
     )
     return sigma
+
+
+def _sigma_nodal_from_sides(pan, s0, xi_u, m_u, xi_l, m_l, clip=2.0):
+    """Panel-consistent transpiration sources (XFOIL-style, no smoothing).
+
+    The station mass-defect profiles m(xi) are interpolated to the PANEL
+    NODES (anchored at m(0) = 0 at the stagnation point) and each panel's
+    source strength is the flow-directed difference quotient
+    (m_downstream - m_upstream) / ds — a piecewise-constant source sheet
+    whose per-panel integral equals the mass-defect increment EXACTLY.
+    This replaces the smoothed centered-gradient + midpoint-interp chain
+    for the Newton interaction law: the smoothing diffused the rear
+    displacement feedback over ~5% chord, which biased CD high at low
+    alpha (the TE recovery was under-relieved) and under-decambered the
+    separated TE region at high alpha (no CL rollover) — the two gaps
+    share this root (STATUS round-2 measured leads). The panel straddling
+    the stagnation point emits both sides' outflow. Linear in (m_u, m_l)
+    modulo the rarely-active clip, so the structured-Jacobian
+    factorisation in the Newton solve stays exact.
+    """
+    dtype = m_u.dtype
+    zero = jnp.zeros((1,), dtype)
+    xi_u0 = jnp.concatenate([zero, xi_u])
+    mu0 = jnp.concatenate([zero, m_u])
+    xi_l0 = jnp.concatenate([zero, xi_l])
+    ml0 = jnp.concatenate([zero, m_l])
+    s_nodes = pan.s
+    m_up = jnp.interp(jnp.clip(s0 - s_nodes, 0.0, None), xi_u0, mu0)
+    m_lo = jnp.interp(jnp.clip(s_nodes - s0, 0.0, None), xi_l0, ml0)
+    m_nodes = jnp.where(s_nodes < s0, m_up, m_lo)
+    ds = jnp.maximum(s_nodes[1:] - s_nodes[:-1], 1e-9)
+    dm = m_nodes[1:] - m_nodes[:-1]
+    fully_upper = s_nodes[1:] <= s0
+    fully_lower = s_nodes[:-1] >= s0
+    # Arc runs TE -> LE -> TE, so on the upper side the flow direction is
+    # -s: sigma = -dm/ds there, +dm/ds on the lower side.
+    sigma = jnp.where(
+        fully_upper, -dm / ds,
+        jnp.where(fully_lower, dm / ds,
+                  (m_nodes[:-1] + m_nodes[1:]) / ds))
+    return jnp.clip(sigma, -clip, clip)
+
+
+def _sigma_wake_nodal(wpan, xi_w, m_w, m_te, clip=2.0):
+    """Panel-consistent wake sources: nodal mass defect differenced per
+    wake panel, anchored at the TE with the merged body mass defect
+    ``m_te`` (so the strong near-TE relaxation of the wake's H appears at
+    full strength in the first wake panels instead of being smoothed
+    away). Linear in (m_w, m_te) modulo the clip."""
+    s_rel = wpan.s - wpan.s[0]
+    xi0 = jnp.concatenate([jnp.zeros((1,), m_w.dtype), xi_w])
+    m0 = jnp.concatenate([jnp.reshape(m_te, (1,)), m_w])
+    m_nodes = jnp.interp(s_rel, xi0, m0)
+    ds = jnp.maximum(s_rel[1:] - s_rel[:-1], 1e-9)
+    return jnp.clip((m_nodes[1:] - m_nodes[:-1]) / ds, -clip, clip)
 
 
 def _forces_from_cp(pan, cp, alpha_deg):

@@ -58,6 +58,8 @@ from airfoil_tpu.viscous.coupled import (
     _forces_from_cp,
     _side_stations,
     _sigma_from_sides,
+    _sigma_nodal_from_sides,
+    _sigma_wake_nodal,
     _smooth_clip_derivative,
 )
 from airfoil_tpu.viscous.march import march_side
@@ -216,11 +218,15 @@ _UE_FLOOR_WAKE = 0.05
 
 def _ue_raws_from_m(op, wop, grid, vt0, m_u, m_l, m_w):
     """Pre-floor station edge velocities — LINEAR in the mass defects
-    (modulo the frozen derivative clip), which is what makes the
-    structured-Jacobian factorisation exact."""
+    (modulo the rarely-active source clip), which is what makes the
+    structured-Jacobian factorisation exact. Sources use the sharp
+    panel-consistent nodal discretisation (see coupled.py): the Newton
+    system is implicit and needs no smoothing for stability."""
     pan = op.pan
-    sigma_b = _sigma_from_sides(pan, grid.s0, grid.xi_u, m_u, grid.xi_l, m_l)
-    sigma_w = _smooth_clip_derivative(wop.xi, m_w)
+    sigma_b = _sigma_nodal_from_sides(
+        pan, grid.s0, grid.xi_u, m_u, grid.xi_l, m_l)
+    m_te = m_u[-1] + m_l[-1] + grid.te_gap
+    sigma_w = _sigma_wake_nodal(wop.wpan, wop.xi, m_w, m_te)
     vt = vt0 + op.due_dsigma @ sigma_b + wop.dvt_dsigw @ sigma_w
     s_mid = 0.5 * (pan.s[:-1] + pan.s[1:])
     s_in = s_mid[1:-1]
@@ -903,19 +909,49 @@ def _solve_viscous_newton_impl(
 
     # One march re-integration is expensive to COMPILE (a 96-step scan
     # with an inner Newton scan), so the solve instantiates as few as
-    # possible: per-point solves freeze the fronts the warm pass's final
-    # march already produced on the nearly-settled displaced field (no
-    # re-location rounds at all); continuation solves, whose donor fronts
-    # are up to ~0.05c stale after an alpha step, re-locate ONCE between
-    # two LM half-runs. The budget newton_iters * outer_rounds is the
-    # total LM iteration count either way.
+    # possible: both modes re-locate the fronts exactly ONCE between two
+    # LM half-runs. Per-point solves seed from the warm pass's march
+    # fronts — but those come from the SMOOTHED-sigma direct field, and
+    # with the sharp panel-consistent interaction law the displaced field
+    # the Newton system converges to sits far enough away that fronts
+    # frozen there select wrong-transition basins (measured: 0012@1e6@4
+    # lands at xtr 0.24 instead of ~0.4 and CL -17%); one re-location on
+    # the half-converged system field snaps them to the consistent fixed
+    # point. Continuation solves re-locate for the same reason (donor
+    # fronts are up to ~0.05c stale after an alpha step). The budget
+    # newton_iters * outer_rounds is the total LM iteration count.
     total_iters = newton_iters * outer_rounds
     zz, lam = zz0, jnp.asarray(1e-3, dtype)
     if init_state is None:
-        xtr_u, xtr_l = _xtr_u_march, _xtr_l_march
-        w_u, w_l = frozen_weights(xtr_u, xtr_l)
-        zz, lam = run_lm(make_res(w_u, w_l), make_jac(w_u, w_l), zz,
-                         jnp.maximum(lam, 1e-4), total_iters)
+        # Converge FULLY on the warm fronts first, then re-locate and
+        # polish — GUARDED. Fronts marched over a half-converged iterate
+        # are junk (measured: re-locating at total/2 put 0012@1e6@4's
+        # front at 0.12c and the polish chased it into a wrong basin), so
+        # the re-location happens on the converged field. But even then
+        # the front<->displacement feedback can run away on points whose
+        # first solve sat in an over-decambered basin (thicker BL ->
+        # earlier march transition -> thicker still), so the polish
+        # result is accepted ONLY when it self-consistently converges
+        # (small residual, finite); otherwise the warm-front solution
+        # stands and the polar walk's continuation handles the point.
+        xtr_u_a, xtr_l_a = _xtr_u_march, _xtr_l_march
+        w_u_a, w_l_a = frozen_weights(xtr_u_a, xtr_l_a)
+        zz_a, lam = run_lm(make_res(w_u_a, w_l_a),
+                           make_jac(w_u_a, w_l_a), zz,
+                           jnp.maximum(lam, 1e-4), total_iters)
+        xtr_u_b, xtr_l_b = fronts_from(zz_a)
+        w_u_b, w_l_b = frozen_weights(xtr_u_b, xtr_l_b)
+        zz_b, lam = run_lm(make_res(w_u_b, w_l_b),
+                           make_jac(w_u_b, w_l_b), zz_a,
+                           jnp.maximum(lam, 1e-4), max(total_iters // 2, 6))
+        rms_b = _rms(make_res(w_u_b, w_l_b)(zz_b))
+        ok_b = jnp.logical_and(rms_b < 0.035,
+                               jnp.all(jnp.isfinite(zz_b)))
+        zz = jnp.where(ok_b, zz_b, zz_a)
+        xtr_u = jnp.where(ok_b, xtr_u_b, xtr_u_a)
+        xtr_l = jnp.where(ok_b, xtr_l_b, xtr_l_a)
+        w_u = jnp.where(ok_b, w_u_b, w_u_a)
+        w_l = jnp.where(ok_b, w_l_b, w_l_a)
     else:
         # Continuation: start from a converged neighbouring-alpha state
         # (the polar's walk) instead of the warm march; its carried
@@ -990,12 +1026,25 @@ def _solve_viscous_newton_impl(
     # outside the laminar...post-stall envelope for this Reynolds number
     # marks a wrong-basin solution even when the residual is small.
     cl_inv = sol0.cl
+    # The lift deficit grows with separation: pre-stall it stays within
+    # ~35% of the inviscid CL, but a genuine near-CL_max solution sheds
+    # up to ~half the inviscid circulation. Widen the deficit band with
+    # the separated fraction so the gate stops vetoing real stall states
+    # while still catching pre-stall wrong-basin lift collapse.
+    deficit_band = (0.35 + 0.8 * jnp.clip(sep_fraction, 0.0, 0.4)) \
+        * jnp.abs(cl_inv)
     cl_sane = jnp.logical_and(
-        jnp.abs(cl_c - cl_inv) < jnp.maximum(0.35 * jnp.abs(cl_inv), 0.15),
+        jnp.abs(cl_c - cl_inv) < jnp.maximum(deficit_band, 0.15),
         # Viscosity only ever reduces the circulation magnitude.
         jnp.abs(cl_c) < 1.05 * jnp.abs(cl_inv) + 0.03)
     cd_lo = 1.0 / jnp.sqrt(reynolds)          # ~0.4x fully-laminar plate
-    cd_hi = 0.25 * reynolds ** -0.2           # ~2x fully-turbulent plate
+    # Attached-flow ceiling ~2x the turbulent flat plate; separation adds
+    # pressure drag far beyond it (CD ~ 0.03-0.10 through CL_max), so the
+    # ceiling scales with the separated fraction — without this the gate
+    # structurally rejected every post-peak solution (at Re=1e6 the
+    # attached ceiling is 0.0158; real stall CD is double that).
+    cd_hi = 0.25 * reynolds ** -0.2 \
+        + 0.30 * jnp.clip(sep_fraction, 0.0, 0.4)
     cd_sane = jnp.logical_and(cd > cd_lo, cd < cd_hi)
     finite = (jnp.all(jnp.isfinite(zz)) & jnp.isfinite(cl_c)
               & jnp.isfinite(cd))
@@ -1026,8 +1075,21 @@ def _solve_viscous_newton_impl(
         ratio < 1.6,
         jnp.logical_or(ratio > 0.6, sep_fraction > 0.02))
 
-    converged = (finite & (rms < 0.035) & (sep_fraction < 0.25)
+    # Separation cap 0.40 (was 0.25): CL_max states legitimately carry
+    # ~1/3 of their stations separated; beyond 0.40 the closure set is
+    # out of its envelope and the result is untrustworthy regardless.
+    converged = (finite & (rms < 0.035) & (sep_fraction < 0.40)
                  & cl_sane & cd_sane & march_consistent)
+
+    import os as _os
+    if _os.environ.get("AIRFOIL_TPU_DEBUG_GATES"):     # dev diagnostics
+        jax.debug.print(
+            "gates a={a:.1f} rms={rms:.4f} sep={sep:.3f} cl={cl:.3f} "
+            "cl_inv={ci:.3f} cd={cd:.5f} cd_hi={ch:.4f} ratio={r:.2f} "
+            "cl_sane={cs} cd_sane={ds} march={mc}",
+            a=alpha_deg, rms=rms, sep=sep_fraction, cl=cl_c, ci=cl_inv,
+            cd=cd, ch=cd_hi, r=ratio, cs=cl_sane, ds=cd_sane,
+            mc=march_consistent)
 
     res = ViscousResult(
         cl=cl_c, cd=cd, cdp=cdp, cm=cm, cp=cp,

@@ -61,6 +61,36 @@ class TestPolar:
         assert np.all(cd[sel] > 0.003)
 
 
+class TestShapeBuckets:
+    def test_same_bucket_polar_triggers_no_recompile(self, polar2412):
+        """A warmed bucket serves any point count in it compile-free.
+
+        This is the server-warmup guarantee (api.handlers.start_warmup):
+        after one polar has compiled a bucket's kernels, a request with a
+        DIFFERENT point count (and Re) in the same bucket must not
+        compile anything — the round-2 cold-request failure mode.
+        """
+        from airfoil_tpu.polar import sweep
+
+        # polar2412 ran P=5 -> alpha bucket 8 and a 161-point loop ->
+        # coord bucket 192; its compiles are in the caches. The request
+        # below differs in point count, loop density, AND Re but lands in
+        # the same (8, 192) buckets, so it must be compile-free.
+        sizes = {
+            "op": sweep._op_kernel._cache_size(),
+            "points": sweep._points_kernel._cache_size(),
+            "walk": sweep._walk_kernel._cache_size(),
+        }
+        alphas = np.arange(-1.0, 5.1, 1.0, dtype=np.float32)  # P=7 -> 8
+        res = solve_polar(naca4(3, 3, 15, 70), alphas, 4e5)
+        assert res.cl.shape == alphas.shape
+        assert sizes == {
+            "op": sweep._op_kernel._cache_size(),
+            "points": sweep._points_kernel._cache_size(),
+            "walk": sweep._walk_kernel._cache_size(),
+        }
+
+
 class TestAnalyze:
     def test_viscous_point_full_contract(self):
         # Default panel count on purpose: shares the solver compile with
