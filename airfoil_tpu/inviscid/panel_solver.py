@@ -72,12 +72,20 @@ def _kernels(xi, eta, l, self_mask=None):
     panel's own midpoint; there the exterior-side analytic limit
     (theta-jump = +pi, log term = 0) is substituted.
     """
-    r1sq = xi * xi + eta * eta + 1e-20
     r2sq = (xi - l) ** 2 + eta * eta + 1e-20
-    theta1 = jnp.arctan2(eta, xi)
-    theta2 = jnp.arctan2(eta, xi - l)
-    delta = theta1 - theta2
-    logr = 0.5 * jnp.log(r1sq / r2sq)
+    # delta = theta1 - theta2 and logr = log(r1/r2) evaluated WITHOUT the
+    # catastrophic far-field cancellation of the naive two-arctan2 /
+    # log-ratio forms (at r >> l both differences are ~l/r while each term
+    # is O(1); in f32 the noise floor then scales with r and the summed
+    # off-body field stops decaying). The fused forms below compute the
+    # small differences directly:
+    #   theta1 - theta2 = -atan2(eta*l, xi*(xi-l) + eta^2)
+    #   log(r1/r2)      = 0.5*log1p(l*(2*xi - l) / r2^2)
+    # (the atan2 identity holds on the full exterior because the subtended
+    # angle of a segment is within (-pi, pi); on-panel limits are +-pi and
+    # handled by self_mask).
+    delta = -jnp.arctan2(eta * l, xi * (xi - l) + eta * eta)
+    logr = 0.5 * jnp.log1p(l * (2.0 * xi - l) / r2sq)
     if self_mask is not None:
         delta = jnp.where(self_mask, jnp.pi, delta)
         logr = jnp.where(self_mask, 0.0, logr)
@@ -96,6 +104,74 @@ def _to_global(u, v, pan: Paneling):
     return u * c - v * s, u * s + v * c
 
 
+def _te_maps(px, py, pan: Paneling):
+    """TE gap-panel velocity influence per unit (gamma[0] - gamma[N]).
+
+    A blunt trailing edge leaves the contour open; with nothing spanning
+    the gap the discrete vortex system resolves the base flow with a huge
+    local gamma spike on the two sliver TE panels (measured: gamma[0]
+    -3.46 vs -0.79 on NACA 2412 with the standard 0.252% open TE), which
+    corrupts near-TE edge velocities and the first wake samples. XFOIL
+    closes the gap with a single panel carrying uniform source and vortex
+    strengths tied to the local sheet strength (Drela 1989; the reference
+    inherits this behaviour through the XFOIL binary it shells to,
+    main.py:328-519): the wake sheet of strength (gamma_upper -
+    gamma_lower)/2 crosses the gap panel at an angle, its normal-crossing
+    component acting as a source sheet and its tangential component as a
+    vortex sheet on the panel:
+
+        sigma_te = -0.5 * (g0 - gN) * |s x t|
+        gamma_te = -0.5 * (g0 - gN) * |s . t|
+
+    with ``s`` the unit vector across the gap (lower TE node -> upper TE
+    node) and ``t`` the downstream TE bisector. The overall sign follows
+    this solver's gamma convention (opposite XFOIL's: at positive lift
+    gamma < 0 on the upper surface) and is pinned by the nodal-strength
+    smoothness it produces — with it, the open-TE NACA 2412 solve gives
+    gamma[0:3] = (-0.744, -0.779, -0.814), smoothly continuing the
+    interior, where the opposite sign leaves a +1.31/-0.52 sawtooth at
+    the TE (and no TE panel at all gives a -3.46 spike). Both strengths
+    are linear in the nodal unknowns, so the influence folds into columns
+    0 and N of the vortex system. Returns global-frame (u, v), each (P,),
+    per unit (gamma[0] - gamma[N]); for a closed TE the panel length
+    vanishes and the maps go smoothly to zero.
+    """
+    x_u, y_u = pan.xp[0], pan.yp[0]
+    x_l, y_l = pan.xp[-1], pan.yp[-1]
+    dx, dy = x_u - x_l, y_u - y_l
+    gap = jnp.hypot(dx, dy)
+    inv = 1.0 / jnp.maximum(gap, 1e-12)
+    sx, sy = dx * inv, dy * inv
+    # Downstream TE bisector: panel 0 runs TE->LE on the upper surface
+    # (reverse it), panel N-1 runs LE->TE on the lower surface.
+    bx = 0.5 * (-pan.tx[0] + pan.tx[-1])
+    by = 0.5 * (-pan.ty[0] + pan.ty[-1])
+    bn = jnp.maximum(jnp.hypot(bx, by), 1e-12)
+    bx, by = bx / bn, by / bn
+    scs = jnp.abs(sx * by - sy * bx)
+    sds = jnp.abs(sx * bx + sy * by)
+
+    # Panel-local frame along s, origin at the lower TE node.
+    dxp = px - x_l
+    dyp = py - y_l
+    xi = dxp * sx + dyp * sy
+    eta = -dxp * sy + dyp * sx
+    l = gap
+    r2sq = (xi - l) ** 2 + eta * eta + 1e-20
+    delta = -jnp.arctan2(eta * l, xi * (xi - l) + eta * eta)
+    logr = 0.5 * jnp.log1p(l * (2.0 * xi - l) / r2sq)
+    u_c = delta / _TWO_PI
+    v_c = logr / _TWO_PI
+    u_s = logr / _TWO_PI
+    v_s = -delta / _TWO_PI
+
+    sig = -0.5 * scs
+    gam = -0.5 * sds
+    u_loc = gam * u_c + sig * u_s
+    v_loc = gam * v_c + sig * v_s
+    return u_loc * sx - v_loc * sy, u_loc * sy + v_loc * sx
+
+
 class InviscidOperator(NamedTuple):
     """Geometry-dependent factorised influence operator.
 
@@ -112,6 +188,12 @@ class InviscidOperator(NamedTuple):
     ``dgamma_dsigma``: (N+1, N) vorticity sensitivity to body sources
     (needed by the wake operator, which evaluates gamma-induced velocities
     off-body).
+    ``at_full``: (N, N+1) nodal-vortex -> midpoint-tangential map with the
+    TE gap-panel columns folded in (use this, not ``_gamma_columns(at_a,
+    at_b)``, wherever gamma maps to a surface velocity).
+    ``rhs_scale``: (N,) per-row scaling for externally-assembled
+    normal-velocity RHS vectors (the sharp-TE regularisation blends the
+    last tangency row away; its RHS must shrink identically).
     """
 
     pan: Paneling
@@ -124,6 +206,8 @@ class InviscidOperator(NamedTuple):
     bt: jnp.ndarray
     due_dsigma: jnp.ndarray
     dgamma_dsigma: jnp.ndarray
+    at_full: jnp.ndarray
+    rhs_scale: jnp.ndarray
 
 
 class InviscidSolution(NamedTuple):
@@ -206,7 +290,57 @@ def build_operator(pan: Paneling) -> InviscidOperator:
     # the identity joins the source self/induced influence in the RHS map.
     bn = bn + jnp.eye(n, dtype=bn.dtype)
 
+    # TE gap panel (blunt TE): columns 0 and N pick up its influence per
+    # unit (gamma[0] - gamma[N]); see _te_maps.
+    u_te, v_te = _te_maps(pan.xm, pan.ym, pan)
+    an_te = u_te * pan.nx + v_te * pan.ny
+    at_te = u_te * pan.tx + v_te * pan.ty
+
     an = _gamma_columns(an_a, an_b)
+    an = an.at[:, 0].add(an_te).at[:, n].add(-an_te)
+
+    # Sharp-TE regularisation. When the TE gap closes, the two sliver TE
+    # panels become collinear and their tangency rows nearly identical —
+    # the system is then singular up to rounding (measured: nodal gamma at
+    # the TE of a cusped Joukowski swings between -13 and -5883 purely
+    # with the XLA fusion layout, and the Kutta cancellation eventually
+    # leaks into CL). XFOIL hits the same singularity and replaces one TE
+    # equation with a curvature extrapolation of gamma into the TE (Drela
+    # 1989); here BOTH sliver tangency rows are blended toward one-sided
+    # gamma curvature extrapolations into the TE,
+    #     g0 - 2 g1 + g2 = 0        (row 0, upper sliver)
+    #     gN - 2 gN-1 + gN-2 = 0    (row N-1, lower sliver)
+    # Replacing only ONE row keeps the system regular but the surviving
+    # sliver tangency equation forces a large antisymmetric nodal-gamma
+    # spike at the cusp (measured +-18 vs ~1 interior on the cusped
+    # Joukowski, f64-confirmed — a property of the equations, not of
+    # rounding) and breaks up/down mirror symmetry (CL = -0.0053 on the
+    # symmetric case at alpha = 0). Tangency at the two ~1e-4 c sliver
+    # midpoints is abandoned at full sharpness — leakage through panels
+    # that small is negligible — and the extrapolations pin a smooth
+    # nodal gamma through the TE. A smooth sharpness weight keeps the
+    # operator jit-traceable across geometries: fully on below a 1e-4 c
+    # gap, off above 1e-3 c.
+    gap = jnp.hypot(pan.xp[0] - pan.xp[-1], pan.yp[0] - pan.yp[-1])
+    t = jnp.clip((gap - 1e-4) / 9e-4, 0.0, 1.0)
+    w_sharp = 1.0 - t * t * (3.0 - 2.0 * t)
+    ex_u = jnp.zeros((n + 1,), an.dtype)
+    ex_u = ex_u.at[0].set(1.0).at[1].set(-2.0).at[2].set(1.0)
+    ex_l = jnp.zeros((n + 1,), an.dtype)
+    ex_l = ex_l.at[n].set(1.0).at[n - 1].set(-2.0).at[n - 2].set(1.0)
+    an = an.at[0, :].multiply(1.0 - w_sharp)
+    an = an.at[0, :].add(w_sharp * ex_u)
+    an = an.at[n - 1, :].multiply(1.0 - w_sharp)
+    an = an.at[n - 1, :].add(w_sharp * ex_l)
+    # The sacrificed rows' RHS terms must scale identically. ``bn`` (the
+    # only RHS map built here) is scaled at source; external RHS builders
+    # (freestream tangency in solve_inviscid, wake-source rows in
+    # wake.build_wake_operator) apply ``rhs_scale``.
+    rhs_scale = (jnp.ones((n,), an.dtype)
+                 .at[0].set(1.0 - w_sharp)
+                 .at[n - 1].set(1.0 - w_sharp))
+    bn = bn * rhs_scale[:, None]
+
     a_full = jnp.zeros((n + 1, n + 1), an.dtype)
     a_full = a_full.at[:n, :].set(an)
     # Kutta: gamma at the two trailing-edge nodes cancel.
@@ -215,16 +349,18 @@ def build_operator(pan: Paneling) -> InviscidOperator:
 
     lu, piv = jax.scipy.linalg.lu_factor(a_full)
 
+    at_full = _gamma_columns(at_a, at_b)              # (N, N+1)
+    at_full = at_full.at[:, 0].add(at_te).at[:, n].add(-at_te)
+
     # Edge-velocity sensitivity to transpiration sources:
     #   gamma(sigma) = A^-1 [b0 - Bn sigma]   (sigma enters the RHS)
     #   Vt(sigma)    = Vt0 + (At A^-1 (-Bn) + Bt) sigma
     rhs = jnp.concatenate([-bn, jnp.zeros((1, n), bn.dtype)], axis=0)
     ginf = _refined_solve(a_full, lu, piv, rhs)       # (N+1, N)
-    at_full = _gamma_columns(at_a, at_b)              # (N, N+1)
     due_dsigma = at_full @ ginf + bt
 
     return InviscidOperator(pan, a_full, lu, piv, bn, at_a, at_b, bt,
-                            due_dsigma, ginf)
+                            due_dsigma, ginf, at_full, rhs_scale)
 
 
 def _freestream(alpha_deg):
@@ -248,7 +384,7 @@ def solve_inviscid(
     n = pan.xm.shape[0]
     uinf, vinf = _freestream(alpha_deg)
 
-    rhs_n = -(uinf * pan.nx + vinf * pan.ny)
+    rhs_n = op.rhs_scale * -(uinf * pan.nx + vinf * pan.ny)
     if sigma is not None:
         rhs_n = rhs_n - op.bn @ sigma
     rhs = jnp.concatenate([rhs_n, jnp.zeros((1,), rhs_n.dtype)])
@@ -256,7 +392,7 @@ def solve_inviscid(
     gamma = _refined_solve(op.a_full, op.lu, op.piv, rhs)
 
     vt = uinf * pan.tx + vinf * pan.ty
-    vt = vt + _gamma_columns(op.at_a, op.at_b) @ gamma
+    vt = vt + op.at_full @ gamma
     if sigma is not None:
         vt = vt + op.bt @ sigma
 
@@ -308,6 +444,10 @@ def velocity_at_points(
     gb = gamma[1:][None, :]
     u = uinf + jnp.sum(ua * ga + ub * gb, axis=1)
     v = vinf + jnp.sum(va * ga + vb * gb, axis=1)
+    u_te, v_te = _te_maps(px, py, pan)
+    g_te = gamma[0] - gamma[-1]
+    u = u + u_te * g_te
+    v = v + v_te * g_te
     if sigma is not None:
         u = u + us @ sigma
         v = v + vs @ sigma

@@ -14,13 +14,23 @@ import numpy as np
 __all__ = ["naca4", "clark_y", "SHAPES"]
 
 
-def naca4(m: float, p: float, t: float, n: int = 50) -> np.ndarray:
+def naca4(m: float, p: float, t: float, n: int = 50,
+          closed_te: bool = False) -> np.ndarray:
     """Generate a NACA 4-digit airfoil as a Selig-ordered (2n+1, 2) array.
 
     Parameters use the digit convention: ``m`` = max camber in % chord,
     ``p`` = camber position in tenths of chord, ``t`` = thickness in % chord.
     Cosine-spaced in x. Matches the standard equations (also used at
     reference html:99-116).
+
+    By default the STANDARD open trailing edge is generated (x^4
+    coefficient -0.1015, TE gap 0.0021 t), matching the geometry behind
+    the published XFOIL polars the parity harness anchors on (XFOIL's own
+    NACA generator is open-TE) — a closed sharp TE forces an inviscid
+    TE stagnation that steepens the aft recovery and, at high alpha,
+    blows the laminar lower-side TE displacement into a spurious
+    camber-increasing hump. ``closed_te=True`` gives the -0.1036 variant
+    for consumers that need a watertight loop (e.g. raster masks).
     """
     m = m / 100.0
     p = p / 10.0
@@ -32,7 +42,7 @@ def naca4(m: float, p: float, t: float, n: int = 50) -> np.ndarray:
         - 0.1260 * x
         - 0.3516 * x**2
         + 0.2843 * x**3
-        - 0.1036 * x**4
+        - (0.1036 if closed_te else 0.1015) * x**4
     )
     yc = np.zeros_like(x)
     dyc = np.zeros_like(x)

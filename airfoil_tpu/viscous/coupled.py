@@ -40,8 +40,17 @@ from airfoil_tpu.inviscid.panel_solver import (
     _freestream,
     solve_inviscid,
 )
-from airfoil_tpu.viscous.march import BLState, march_side, march_wake
-from airfoil_tpu.viscous.wake import WakeOperator, build_wake_operator
+from airfoil_tpu.viscous.march import (
+    BLState,
+    march_side,
+    march_wake,
+    wake_ctau0,
+)
+from airfoil_tpu.viscous.wake import (
+    WakeOperator,
+    blend_te_continuity,
+    build_wake_operator,
+)
 
 __all__ = ["SideBL", "ViscousResult", "solve_viscous"]
 
@@ -313,18 +322,14 @@ def solve_viscous(
         bl_u = jax.tree.map(lambda a: a[0], bl2)
         bl_l = jax.tree.map(lambda a: a[1], bl2)
 
-        ue_w = jnp.maximum(wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w,
-                           0.05)
+        ue_w = wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w
+        ue_w = jnp.maximum(blend_te_continuity(
+            wop.xi, ue_w, 0.5 * (ue_u[-1] + ue_l[-1])), 0.05)
         th0 = bl_u.theta[-1] + bl_l.theta[-1]
         ds0 = bl_u.dstar[-1] + bl_l.dstar[-1] + te_gap
 
-        def te_ctau(bl: BLState):
-            c = jnp.where(jnp.isnan(bl.ctau[-1]), 1e-4, bl.ctau[-1])
-            return jnp.clip(c, 1e-5, 0.3)
-
-        ct0 = ((te_ctau(bl_u) * bl_u.theta[-1]
-                + te_ctau(bl_l) * bl_l.theta[-1])
-               / jnp.maximum(th0, 1e-10))
+        ct0 = wake_ctau0(bl_u, bl_l, th0, ds0,
+                         0.5 * (ue_u[-1] + ue_l[-1]), nu)
         th_w, ds_w, hk_w = march_wake(wop.xi, ue_w, nu, th0, ds0, ct0)
 
         return vt, s0, (xi_u, ue_u, x_u, y_u, bl_u), \

@@ -30,7 +30,7 @@ import jax.numpy as jnp
 
 from airfoil_tpu.viscous import closures as cl
 
-__all__ = ["BLState", "stagnation_ic", "march_side"]
+__all__ = ["BLState", "stagnation_ic", "march_side", "wake_ctau0"]
 
 _NEWTON_ITERS = 8
 _CTAU_INIT_FACTOR = 0.7
@@ -172,14 +172,25 @@ def march_side(
     theta0, dstar0 = stagnation_ic(s[0], ue[0], nu)
 
     def scan_step(carry, inp):
-        t1, d1, a1, turb1, xtr, tripped, lam_sep1 = carry
+        t1, d1, a1, turb1, xtr, tripped, lam_sep1, seprun1 = carry
         s1, ue1, x1, s2, ue2, x2 = inp
 
-        # Transition trigger at interval start: free (amplification) or trip.
+        # Transition trigger at interval start: free (amplification), trip,
+        # or a laminar separation that has run 0.05c without the envelope
+        # crossing n_crit. The last is the classical separation-forced
+        # transition (XFOIL's reported transition points sit AT the
+        # laminar-separation location when e^N has not fired — e.g. the
+        # lower-surface aft values 0.93/0.85 in its 0012/2412 polars): a
+        # separated laminar shear layer is inviscidly unstable and cannot
+        # persist; without this cap the march carries a pinned-Hk
+        # separated layer to the TE whose inflated displacement thickness
+        # fakes an extra ~+0.04 of camber-lift.
         amp_hit = jnp.logical_and(jnp.logical_not(turb1), a1 >= n_crit)
         trip_hit = jnp.logical_and(jnp.logical_not(turb1),
                                    x1 >= x_forced_transition)
-        becomes_turb = jnp.logical_or(amp_hit, trip_hit)
+        sep_hit = jnp.logical_and(jnp.logical_not(turb1), seprun1 > 0.05)
+        becomes_turb = jnp.logical_or(jnp.logical_or(amp_hit, trip_hit),
+                                      sep_hit)
         turb2 = jnp.logical_or(turb1, becomes_turb)
 
         # Record transition x once (interpolate the n~ = n_crit crossing).
@@ -286,17 +297,22 @@ def march_side(
         hk2, ret2, hs2, cf2, _cd2 = _regime_quantities(
             t2, d2, ue2, nu, ctau2, turb2)
 
+        # Chordwise run length of the current laminar-separated stretch.
+        seprun2 = jnp.where(lam_sep2, seprun1 + jnp.abs(x2 - x1),
+                            jnp.zeros_like(seprun1))
+
         out = (t2, d2, hk2, cf2,
                jnp.where(turb2, jnp.nan, a2),
                jnp.where(turb2, ctau2, jnp.nan),
                turb2, sep)
-        return (t2, d2, a2, turb2, xtr_new, tripped2, lam_sep2), out
+        return (t2, d2, a2, turb2, xtr_new, tripped2, lam_sep2,
+                seprun2), out
 
     inputs = (s[:-1], ue[:-1], x[:-1], s[1:], ue[1:], x[1:])
     init = (theta0, dstar0, jnp.zeros_like(theta0),
             jnp.array(False), jnp.asarray(x[-1], s.dtype), jnp.array(False),
-            jnp.array(False))
-    (tf, df, af, turbf, xtr, _, _), outs = jax.lax.scan(
+            jnp.array(False), jnp.zeros_like(theta0))
+    (tf, df, af, turbf, xtr, _, _, _), outs = jax.lax.scan(
         scan_step, init, inputs)
 
     theta_a, dstar_a, hk_a, cf_a, amp_a, ctau_a, turb_a, sep_a = outs
@@ -384,3 +400,39 @@ def march_wake(
 
     return (cat(theta0, theta_a), cat(dstar0, dstar_a),
             cat(dstar0 / jnp.maximum(theta0, 1e-10), hk_a))
+
+
+def wake_ctau0(bl_u: BLState, bl_l: BLState, th0, ds0, ue_te, nu):
+    """Initial wake shear-stress coefficient from the merged TE states.
+
+    The theta-weighted mean of the two sides' TE ctau — but a side whose
+    march arrives LAMINAR at the TE (e^N never fired; typically a
+    laminar-separated stretch the separation-forced transition had no room
+    to absorb) has no carried ctau, and substituting ~0 is what used to
+    blow the wake up: with inlet hk = ds0/th0 ~ 4 and no shear stress the
+    wake march has no dissipation to relax H, so H runs AWAY (theta
+    collapses, Squire-Young CD halves — the round-3 direct-path CD=0.0027
+    collapse at 0012@0@Re5e5). A separated/transitional free shear layer
+    physically carries near-equilibrium Reynolds stress, so each laminar
+    side contributes the equilibrium ctau at its own TE state scaled by
+    XFOIL's transition-onset factor (its CTR = 1.8 exp(-3.3/(Hk-1))
+    initialisation), and the merged value is additionally floored at
+    0.7x the equilibrium ctau of the merged wake inlet state itself.
+    """
+    ret0 = jnp.maximum(ue_te * th0 / nu, 50.0)
+
+    def side_ct(bl):
+        hk_te = jnp.clip(bl.hk[-1], 1.05, 8.0)
+        hs_te = cl.turb_hstar(hk_te, ret0)
+        cteq = cl.turb_cteq(hk_te, ret0, hs_te)
+        onset = 1.8 * jnp.exp(-3.3 / jnp.maximum(hk_te - 1.0, 0.2))
+        lam_val = jnp.clip(onset, 0.2, 1.0) * cteq
+        c = jnp.where(jnp.isnan(bl.ctau[-1]), lam_val, bl.ctau[-1])
+        return jnp.clip(c, 1e-5, 0.3)
+
+    ct0 = ((side_ct(bl_u) * bl_u.theta[-1] + side_ct(bl_l) * bl_l.theta[-1])
+           / jnp.maximum(th0, 1e-10))
+    hk0 = jnp.clip(ds0 / jnp.maximum(th0, 1e-10), 1.05, 8.0)
+    hs0 = cl.turb_hstar(hk0, ret0)
+    ct_floor = 0.7 * cl.turb_cteq(hk0, ret0, hs0)
+    return jnp.clip(jnp.maximum(ct0, ct_floor), 1e-5, 0.3)

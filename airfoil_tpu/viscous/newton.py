@@ -40,6 +40,7 @@ its Newton iterations).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple
 
@@ -63,7 +64,11 @@ from airfoil_tpu.viscous.coupled import (
     _smooth_clip_derivative,
 )
 from airfoil_tpu.viscous.march import march_side
-from airfoil_tpu.viscous.wake import WakeOperator, build_wake_operator
+from airfoil_tpu.viscous.wake import (
+    WakeOperator,
+    blend_te_continuity,
+    build_wake_operator,
+)
 
 __all__ = ["solve_viscous_newton"]
 
@@ -234,6 +239,11 @@ def _ue_raws_from_m(op, wop, grid, vt0, m_u, m_l, m_w):
     raw_u = -jnp.interp(grid.s_q_u, s_in, vt_in)
     raw_l = jnp.interp(grid.s_q_l, s_in, vt_in)
     raw_w = wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w
+    # Wake edge velocity made continuous with the TE boundary-layer edge
+    # velocity (see wake.blend_te_continuity) — linear, so the structured
+    # Jacobian's interaction operator stays exact.
+    raw_w = blend_te_continuity(wop.xi, raw_w,
+                                0.5 * (raw_u[-1] + raw_l[-1]))
     return raw_u, raw_l, raw_w, vt, sigma_b, sigma_w
 
 
@@ -426,8 +436,9 @@ def _warm_start(op, wop, grid, vt0, nu, n_crit, x_trip, m_s, n_w,
                          jnp.stack([grid.x_u, grid.x_l]))
         bl_u = jax.tree.map(lambda a: a[0], bl2)
         bl_l = jax.tree.map(lambda a: a[1], bl2)
-        ue_w = jnp.maximum(wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w,
-                           0.05)
+        ue_w = wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w
+        ue_w = jnp.maximum(blend_te_continuity(
+            wop.xi, ue_w, 0.5 * (ue_u[-1] + ue_l[-1])), 0.05)
         return bl_u, bl_l, ue_u, ue_l, ue_w
 
     def body(carry, _):
@@ -504,7 +515,7 @@ def _fallback_scalars(op, wop, grid, vt0, ws, alpha_deg, nu, dtype,
     second direct-solver pass in the batched polar. Returns
     (cl, cd, cdp, cm, ok, xtr_u, xtr_l, sep_fraction).
     """
-    from airfoil_tpu.viscous.march import march_wake
+    from airfoil_tpu.viscous.march import march_wake, wake_ctau0
 
     bl_u, bl_l = ws["bl_u"], ws["bl_l"]
     ue_u, ue_l, ue_w = ws["ue_u"], ws["ue_l"], ws["ue_w"]
@@ -517,12 +528,8 @@ def _fallback_scalars(op, wop, grid, vt0, ws, alpha_deg, nu, dtype,
     th0 = bl_u.theta[-1] + bl_l.theta[-1]
     ds0 = bl_u.dstar[-1] + bl_l.dstar[-1] + grid.te_gap
 
-    def te_ctau(bl):
-        c = jnp.where(jnp.isnan(bl.ctau[-1]), 1e-4, bl.ctau[-1])
-        return jnp.clip(c, 1e-5, 0.3)
-
-    ct0 = ((te_ctau(bl_u) * bl_u.theta[-1] + te_ctau(bl_l) * bl_l.theta[-1])
-           / jnp.maximum(th0, 1e-10))
+    ct0 = wake_ctau0(bl_u, bl_l, th0, ds0,
+                     0.5 * (ue_u[-1] + ue_l[-1]), nu)
     th_w, _ds_w, hk_w = march_wake(wop.xi, ue_w, nu, th0, ds0, ct0)
 
     h_end = jnp.clip(hk_w[-1], 1.0, 2.5)
@@ -566,10 +573,11 @@ def solve_viscous_newton(
     n_wake: int = 20,
     warm_iters: int = 8,
     newton_iters: int = 12,
-    outer_rounds: int = 3,
+    outer_rounds: int = 4,
 ) -> ViscousResult:
     """Coupled viscous solve at one (alpha, Re) by simultaneous Newton with
-    outer transition re-location. Same result contract as
+    outer front↔field fixed-point rounds (``outer_rounds`` re-locations of
+    ``newton_iters`` LM iterations each). Same result contract as
     ``coupled.solve_viscous``; vmap over alpha/Re.
     """
     # The LM path's basin selection is sensitive to matmul rounding; on
@@ -595,7 +603,7 @@ def solve_polar_point(
     n_wake: int = 20,
     warm_iters: int = 8,
     newton_iters: int = 10,
-    outer_rounds: int = 2,
+    outer_rounds: int = 3,
 ):
     """One polar point: Newton scalars where converged, else the warm-start
     direct-trajectory fallback (assembled inside the same solve — no second
@@ -907,66 +915,88 @@ def _solve_viscous_newton_impl(
         return partial(_residual, w_u=w_u, w_l=w_l, op=op, wop=wop,
                        grid=grid, vt0=vt0, nu=nu, m_s=m_s, n_w=n_w)
 
-    # One march re-integration is expensive to COMPILE (a 96-step scan
-    # with an inner Newton scan), so the solve instantiates as few as
-    # possible: both modes re-locate the fronts exactly ONCE between two
-    # LM half-runs. Per-point solves seed from the warm pass's march
-    # fronts — but those come from the SMOOTHED-sigma direct field, and
-    # with the sharp panel-consistent interaction law the displaced field
-    # the Newton system converges to sits far enough away that fronts
-    # frozen there select wrong-transition basins (measured: 0012@1e6@4
-    # lands at xtr 0.24 instead of ~0.4 and CL -17%); one re-location on
-    # the half-converged system field snaps them to the consistent fixed
-    # point. Continuation solves re-locate for the same reason (donor
-    # fronts are up to ~0.05c stale after an alpha step). The budget
-    # newton_iters * outer_rounds is the total LM iteration count.
-    total_iters = newton_iters * outer_rounds
-    zz, lam = zz0, jnp.asarray(1e-3, dtype)
+    # ── outer front↔field fixed-point rounds ───────────────────────────
+    # Each round LM-converges the field on frozen fronts, then re-locates
+    # the fronts by re-marching the converged edge-velocity field. One
+    # re-location (the round-2 design) is NOT enough: the displaced field
+    # moves the e^N crossing by up to ~0.2c from the warm-start guess and
+    # left the front/field pair mutually inconsistent — measured as basin
+    # path-dependence (the same alpha solving to different CL depending on
+    # the sweep grid it rode in on) and a +20-40% CD bias at moderate
+    # alpha from early-frozen fronts. The scan iterates the leapfrog
+    # toward its fixed point with the per-round front movement CLAMPED
+    # (the thicker-BL -> earlier-transition -> thicker-BL runaway that a
+    # free leapfrog can enter is cut by the clamp), tracking the LATEST
+    # round that self-consistently converged on its own fronts; the march
+    # is parabolic/unique, so within the clamp radius the leapfrog has a
+    # single attracting fixed point. Per-point and continuation solves
+    # share this structure and differ only in the initial (field, fronts)
+    # pair: the warm march's, or the donor state's (station grids are
+    # congruent across alpha — per-side arc fractions — so donor state
+    # transfers index-wise). Budget: outer_rounds scan rounds of
+    # newton_iters LM iterations each; one run_lm + one march
+    # instantiation total (the scan body), which is also what keeps the
+    # cold compile bounded.
+    _XTR_CEIL = 1.2        # 'no transition' in effective front space:
+    #                        the frozen ramp at 1.2 is numerically zero
+    #                        over the whole chord, unlike the march's 2.0
+    #                        sentinel, which would make the clamped steps
+    #                        crawl through a meaningless gap.
+    _XTR_STEP = 0.12       # max front movement per round
+    _XTR_RELAX = 0.65      # under-relaxation of the front leapfrog: the
+    #                        march's re-located front oscillates +-0.05
+    #                        about the fixed point when the field response
+    #                        lags a full step (observed as a 0.775/0.821
+    #                        limit cycle at 0012@1e6@0); damping settles it.
+
     if init_state is None:
-        # Converge FULLY on the warm fronts first, then re-locate and
-        # polish — GUARDED. Fronts marched over a half-converged iterate
-        # are junk (measured: re-locating at total/2 put 0012@1e6@4's
-        # front at 0.12c and the polish chased it into a wrong basin), so
-        # the re-location happens on the converged field. But even then
-        # the front<->displacement feedback can run away on points whose
-        # first solve sat in an over-decambered basin (thicker BL ->
-        # earlier march transition -> thicker still), so the polish
-        # result is accepted ONLY when it self-consistently converges
-        # (small residual, finite); otherwise the warm-front solution
-        # stands and the polar walk's continuation handles the point.
-        xtr_u_a, xtr_l_a = _xtr_u_march, _xtr_l_march
-        w_u_a, w_l_a = frozen_weights(xtr_u_a, xtr_l_a)
-        zz_a, lam = run_lm(make_res(w_u_a, w_l_a),
-                           make_jac(w_u_a, w_l_a), zz,
-                           jnp.maximum(lam, 1e-4), total_iters)
-        xtr_u_b, xtr_l_b = fronts_from(zz_a)
-        w_u_b, w_l_b = frozen_weights(xtr_u_b, xtr_l_b)
-        zz_b, lam = run_lm(make_res(w_u_b, w_l_b),
-                           make_jac(w_u_b, w_l_b), zz_a,
-                           jnp.maximum(lam, 1e-4), max(total_iters // 2, 6))
-        rms_b = _rms(make_res(w_u_b, w_l_b)(zz_b))
-        ok_b = jnp.logical_and(rms_b < 0.035,
-                               jnp.all(jnp.isfinite(zz_b)))
-        zz = jnp.where(ok_b, zz_b, zz_a)
-        xtr_u = jnp.where(ok_b, xtr_u_b, xtr_u_a)
-        xtr_l = jnp.where(ok_b, xtr_l_b, xtr_l_a)
-        w_u = jnp.where(ok_b, w_u_b, w_u_a)
-        w_l = jnp.where(ok_b, w_l_b, w_l_a)
+        zz_i = zz0
+        xtr_u0 = jnp.minimum(_xtr_u_march, _XTR_CEIL)
+        xtr_l0 = jnp.minimum(_xtr_l_march, _XTR_CEIL)
     else:
-        # Continuation: start from a converged neighbouring-alpha state
-        # (the polar's walk) instead of the warm march; its carried
-        # fronts are the first frozen ramp. The station grids are
-        # congruent across alpha (per-side arc fractions), so the state
-        # transfers index-wise.
-        zz, xtr_u, xtr_l = init_state
-        half = max(total_iters // 2, 1)
+        zz_i, xtr_u0, xtr_l0 = init_state
+        xtr_u0 = jnp.minimum(xtr_u0, _XTR_CEIL)
+        xtr_l0 = jnp.minimum(xtr_l0, _XTR_CEIL)
+
+    def fp_round(carry, _):
+        zz, lam, xtr_u, xtr_l, best = carry
         w_u, w_l = frozen_weights(xtr_u, xtr_l)
         zz, lam = run_lm(make_res(w_u, w_l), make_jac(w_u, w_l), zz,
-                         jnp.maximum(lam, 1e-4), half)
-        xtr_u, xtr_l = fronts_from(zz)
-        w_u, w_l = frozen_weights(xtr_u, xtr_l)
-        zz, lam = run_lm(make_res(w_u, w_l), make_jac(w_u, w_l), zz,
-                         jnp.maximum(lam, 1e-4), total_iters - half)
+                         jnp.maximum(lam, 1e-4), newton_iters)
+        rms_r = _rms(make_res(w_u, w_l)(zz))
+        ok_r = jnp.logical_and(rms_r < 0.035, jnp.all(jnp.isfinite(zz)))
+        best = jax.tree.map(
+            lambda b, n: jnp.where(ok_r, n, b),
+            best, (zz, xtr_u, xtr_l, jnp.array(True)))
+        # Fronts move ONLY off a converged field: a march over a
+        # half-converged iterate is junk (measured: it put 0012@1e6@4's
+        # front at ~0.11c and the leapfrog chased it into a wrong basin).
+        # An unconverged round keeps its fronts and spends the next
+        # round's LM budget converging under them.
+        xtr_u_new, xtr_l_new = fronts_from(zz)
+        xtr_u = jnp.where(ok_r, xtr_u + jnp.clip(
+            _XTR_RELAX * (jnp.minimum(xtr_u_new, _XTR_CEIL) - xtr_u),
+            -_XTR_STEP, _XTR_STEP), xtr_u)
+        xtr_l = jnp.where(ok_r, xtr_l + jnp.clip(
+            _XTR_RELAX * (jnp.minimum(xtr_l_new, _XTR_CEIL) - xtr_l),
+            -_XTR_STEP, _XTR_STEP), xtr_l)
+        if os.environ.get("AIRFOIL_TPU_DEBUG_ROUNDS"):
+            jax.debug.print(
+                "round a={a:.1f} rms={r:.4f} ok={ok} xtr {xu:.3f}/{xl:.3f}"
+                " -> {xun:.3f}/{xln:.3f}",
+                a=alpha_deg, r=rms_r, ok=ok_r, xu=carry[2], xl=carry[3],
+                xun=xtr_u, xln=xtr_l)
+        return (zz, lam, xtr_u, xtr_l, best), rms_r
+
+    best0 = (zz_i, xtr_u0, xtr_l0, jnp.array(False))
+    carry0 = (zz_i, jnp.asarray(1e-3, dtype), xtr_u0, xtr_l0, best0)
+    (zz_f, _lam, xtr_u_f, xtr_l_f, best), _rmss = jax.lax.scan(
+        fp_round, carry0, None, length=outer_rounds)
+    found = best[3]
+    zz = jnp.where(found, best[0], zz_f)
+    xtr_u = jnp.where(found, best[1], xtr_u_f)
+    xtr_l = jnp.where(found, best[2], xtr_l_f)
+    w_u, w_l = frozen_weights(xtr_u, xtr_l)
 
     rms = _rms(make_res(w_u, w_l)(zz))
 
