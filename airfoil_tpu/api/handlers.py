@@ -81,18 +81,18 @@ def start_warmup():
     def _warm():
         try:
             from airfoil_tpu.models import naca4
-            from airfoil_tpu.polar import analyze_airfoil, solve_polar
+            from airfoil_tpu.polar import analyze_airfoil, warm_polar_kernels
 
             coords = naca4(2, 4, 12, 60)
             # The polar pipeline first: /polar/ is the flagship endpoint
             # and its kernels (batched pass + walk + rescue) are the
-            # biggest compiles. A -10..20 sweep lands in the 32-point
-            # bucket every served sweep up to 32 points then reuses, and
-            # exercises the rescue (stall-region failures), so a cold
+            # biggest compiles — warmed CONCURRENTLY (one thread per
+            # dispatch; wall ~ the largest single compile instead of the
+            # sum). A -10..20 sweep lands in the 32-point bucket every
+            # served sweep up to 32 points then reuses, so a cold
             # server's first /polar/ request runs compile-free.
             t0 = time.perf_counter()
-            alphas = np.arange(-10.0, 20.5, 1.0, dtype=np.float32)
-            solve_polar(np.asarray(coords, np.float32), alphas, 1e6)
+            warm_polar_kernels(p=32)
             logger.info("polar warmup done in %.1fs",
                         time.perf_counter() - t0)
             t0 = time.perf_counter()

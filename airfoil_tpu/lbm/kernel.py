@@ -161,10 +161,10 @@ def lbm_steps_pallas_tiled(f, solid, u0, tau, steps: int = 4,
         num_scalar_prefetch=1,
         grid=(ny // tile_rows,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.ANY),
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
         scratch_shapes=[
             pltpu.VMEM((q, win, nx), f.dtype),
             pltpu.VMEM((win, nx), f.dtype),

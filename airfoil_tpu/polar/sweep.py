@@ -42,7 +42,7 @@ from airfoil_tpu.viscous.newton import (
     solve_polar_point_cont,
 )
 
-__all__ = ["PolarResult", "solve_polar", "MODE_VISCOUS",
+__all__ = ["PolarResult", "solve_polar", "warm_polar_kernels", "MODE_VISCOUS",
            "MODE_VISCOUS_SMOOTHED", "MODE_INVISCID"]
 
 MODE_VISCOUS = 0
@@ -406,6 +406,58 @@ def _pad_coords(coords):
         return coords
     tail = jnp.broadcast_to(coords[-1:], (target - m, coords.shape[1]))
     return jnp.concatenate([coords, tail])
+
+
+def warm_polar_kernels(p: int = 32, n_coords: int = 192,
+                       n_panels: int = 160, rescue: bool = True) -> None:
+    """Compile the polar pipeline's dispatches CONCURRENTLY.
+
+    Cold-compiling the pipeline serially costs sum(points, walk, rescue)
+    — the round-2 driver-bench timeout. The three big modules are
+    independent given shapes (the walk only needs the per-point pass's
+    OUTPUT SHAPES, known statically), so each compiles in its own thread:
+    XLA/PJRT compilation releases the GIL, and the remote-compile path
+    parallelises server-side. Wall cost becomes ~max(points, walk) + op.
+    Dummy inputs at the served bucket shapes populate the regular jit
+    cache, so the first real ``solve_polar`` reuses everything.
+    """
+    import threading
+
+    import numpy as np
+
+    from airfoil_tpu.models import naca4
+
+    coords = _pad_coords(jnp.asarray(
+        np.asarray(naca4(2, 4, 12, (n_coords - 1) // 2), np.float32)))
+    alphas = jnp.linspace(-10.0, 20.0, p, dtype=jnp.float32)
+    res = jnp.full((p,), 1e6, jnp.float32)
+
+    op, _xp, _yp = _op_kernel(coords, n_panels)
+    m1_sh, (nok1_sh, st1_sh) = jax.eval_shape(
+        _points_kernel, op, alphas, res)
+
+    def warm_points():
+        m1, (nok1, st1) = _points_kernel(op, alphas, res)
+        jax.block_until_ready(m1)
+
+    def warm_walk():
+        zeros = jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), (m1_sh, nok1_sh, st1_sh))
+        out = _walk_kernel(op, alphas, res, *zeros)
+        jax.block_until_ready(out)
+
+    def warm_rescue():
+        op_s = _op_kernel_smoothed(coords, n_panels)
+        b = min(8, p)
+        out = _rescue_kernel(op_s, alphas[:b], res[:b])
+        jax.block_until_ready(out)
+
+    jobs = [warm_points, warm_walk] + ([warm_rescue] if rescue else [])
+    threads = [threading.Thread(target=j, daemon=True) for j in jobs]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
 
 
 def solve_polar(

@@ -36,13 +36,16 @@ BASELINE_LBM_MLUPS = 12.3
 
 def bench_polar():
     from airfoil_tpu.models import naca4
-    from airfoil_tpu.polar import solve_polar
+    from airfoil_tpu.polar import solve_polar, warm_polar_kernels
 
     coords = np.asarray(naca4(2, 4, 12, 100), np.float32)
     alphas = np.arange(-10.0, 20.5, 1.0, dtype=np.float32)  # 31 points
 
-    # Warm up (compile). solve_polar IS the served product path (incl. the
-    # bucket padding) and returns host arrays, so completion is inherent.
+    # Cold-compile the pipeline's dispatches concurrently (wall ~ the
+    # largest single module instead of the sum), then warm up the real
+    # call. solve_polar IS the served product path (incl. the bucket
+    # padding) and returns host arrays, so completion is inherent.
+    warm_polar_kernels(p=32)
     out = solve_polar(coords, alphas, 1e6)
 
     n_rep = 3

@@ -106,6 +106,7 @@ class TestValidation:
         assert "alpha" in r.json()["detail"]
 
 
+@pytest.mark.slow
 class TestAnalysis:
     def test_upload_airfoil_schema(self, base_url, naca2412_dat):
         r = requests.post(base_url + "/upload_airfoil/",
@@ -181,6 +182,7 @@ class TestLBM:
         assert r5.status_code == 404
 
 
+@pytest.mark.slow
 class TestBatch:
     def test_batch_repeated_files_fields(self, base_url, naca2412_dat):
         # The /batch/ contract: N multipart parts all named "files"
@@ -236,6 +238,7 @@ class TestRateLimit:
             httpd.shutdown()
 
 
+@pytest.mark.slow
 class TestFastAPIVariant:
     def test_fastapi_app_when_available(self, naca2412_dat):
         try:

@@ -10,6 +10,10 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+# Full coupled-solver compiles: the slow tier (VERDICT r2 item 7 - the
+# default `-m 'not slow'` run must stay under 5 min cold).
+pytestmark = pytest.mark.slow
+
 from airfoil_tpu.inviscid import build_operator
 from airfoil_tpu.models import naca4
 from airfoil_tpu.paneling import panel_geometry, repanel

@@ -3,6 +3,10 @@
 import numpy as np
 import pytest
 
+# Full coupled-solver compiles: the slow tier (VERDICT r2 item 7 - the
+# default `-m 'not slow'` run must stay under 5 min cold).
+pytestmark = pytest.mark.slow
+
 from airfoil_tpu.models import naca4
 from airfoil_tpu.polar import analyze_airfoil, solve_polar
 from airfoil_tpu.polar.sweep import (

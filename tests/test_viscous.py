@@ -128,6 +128,7 @@ def op0012():
     return build_operator(panel_geometry(xp, yp))
 
 
+@pytest.mark.slow
 class TestCoupledSolve:
     def test_naca2412_re1e6_alpha0(self, op2412):
         r = solve_viscous(op2412, 0.0, 1e6)
