@@ -94,23 +94,40 @@ def log10_ret_crit(hk):
 # across the 0012/2412/4412 alpha sweeps; laminar-separation-forced
 # transition (march.py) backstops the strongly-suppressed cases exactly
 # like XFOIL's bubble transitions.
-_AMP_MOD_A = 2.62      # g = 1 below this H (Blasius 2.59 untouched)
-_AMP_MOD_B = 3.10      # smoothstep end
-_AMP_MOD_FLOOR = 0.50  # residual fraction at deep-adverse H
+# Piecewise-linear g(H), calibrated over the SYSTEM solver's own laminar
+# profiles solved with transition FORCED at the vendored truth locations
+# (scratch/probe_calib.py), so the calibration target is exactly "the
+# envelope integral over our profile crosses n_crit at XFOIL's
+# transition". Per-band accounting over the fit set (0012@1e6 a=0/4/8,
+# 2412@1e6 a=0/4/8, 4412@1e6 a=0; the Re=2e5 and 4412@4 anchors are
+# bubble transitions served by the separated-shear boost below) pins the
+# 0012 family and 2412@4/8 to within ~0.03c with this MONOTONE-ish shape;
+# 2412@0 and 4412@0 land ~0.15c late (their profiles demand band values
+# above raw that would wreck every other anchor — a profile-fidelity
+# limit, not a shape limit; the exact least-squares optimum carved a
+# non-monotone dip at H~3.2 that was knife-edge fragile in the free
+# solve: a +-0.2 H wobble moved the local rate 2x and the crossing 0.2c).
+_AMP_MOD_HK = jnp.asarray([2.55, 2.90, 3.20, 3.60, 4.20, 5.20])
+_AMP_MOD_G = jnp.asarray([1.00, 0.70, 0.62, 0.60, 0.65, 0.70])
+
+# Separated-shear amplification boost: a laminar layer past separation
+# (Hk > ~4.6) is inviscidly unstable and cannot persist; the envelope
+# correlation alone (which rides 1/theta) is fast enough for thin
+# leading-edge bubbles but lets a thick aft bubble (Re ~ 2e5, theta ~
+# 1e-3) run 0.2c+ — XFOIL's bubbles close within ~0.05-0.1c. The boost
+# adds a theta-independent dn/ds floor in the separated regime, which
+# also closes the "all-laminar" spurious basin of the coupled system (a
+# soft-separated relieved state whose suppressed peak never amplifies).
+_SEP_BOOST = 60.0
 
 
 def _amp_h_mod(hk):
-    s = jnp.clip((hk - _AMP_MOD_A) / (_AMP_MOD_B - _AMP_MOD_A), 0.0, 1.0)
-    ss = s * s * (3.0 - 2.0 * s)
-    g = 1.0 - (1.0 - _AMP_MOD_FLOOR) * ss
-    # The modulation is calibrated for ATTACHED post-peak H overshoot;
-    # a laminar-SEPARATED shear layer (Hk pinned near HK_LAM_MAX by the
-    # march) amplifies at the raw envelope rate, which is what makes
-    # short-bubble transition fire within a few percent chord of
-    # separation (the Re ~ 2e5 regime and aft lower-surface bubbles).
-    r = jnp.clip((hk - 4.2) / 0.8, 0.0, 1.0)
-    rr = r * r * (3.0 - 2.0 * r)
-    return g + (1.0 - g) * rr
+    return jnp.interp(hk, _AMP_MOD_HK, _AMP_MOD_G)
+
+
+def _sep_boost(hk):
+    s = jnp.clip((hk - 4.6) / 0.9, 0.0, 1.0)
+    return _SEP_BOOST * s * s * (3.0 - 2.0 * s)
 
 
 def amplification_rate(hk, theta, ret):
@@ -143,7 +160,7 @@ def amplification_rate(hk, theta, ret):
     # accumulated enough spurious n to put transition ~0.13c early.
     s = jnp.clip((jnp.log10(ret) - log10_retc) / 0.16, 0.0, 1.0)
     gate = s * s * (3.0 - 2.0 * s)
-    return rate * gate * _amp_h_mod(hk)
+    return rate * gate * _amp_h_mod(hk) + _sep_boost(hk)
 
 
 # ── Turbulent (Drela 1989 equilibrium + lag) ────────────────────────────────
