@@ -34,21 +34,26 @@ BASELINE_POINTS_PER_SEC = 1.0 / 30.0
 BASELINE_LBM_MLUPS = 12.3
 
 
-def bench_polar():
+def bench_polar(reduced: bool = False):
     from airfoil_tpu.models import naca4
     from airfoil_tpu.polar import solve_polar, warm_polar_kernels
 
     coords = np.asarray(naca4(2, 4, 12, 100), np.float32)
-    alphas = np.arange(-10.0, 20.5, 1.0, dtype=np.float32)  # 31 points
+    # The reduced (CPU-fallback) config stays inside the driver's timeout
+    # on a single CPU core: fewer points, one timed rep.
+    if reduced:
+        alphas = np.arange(-4.0, 6.5, 1.0, dtype=np.float32)   # 11 points
+    else:
+        alphas = np.arange(-10.0, 20.5, 1.0, dtype=np.float32)  # 31 points
 
     # Cold-compile the pipeline's dispatches concurrently (wall ~ the
     # largest single module instead of the sum), then warm up the real
     # call. solve_polar IS the served product path (incl. the bucket
     # padding) and returns host arrays, so completion is inherent.
-    warm_polar_kernels(p=32)
+    warm_polar_kernels(p=32 if not reduced else int(alphas.shape[0]))
     out = solve_polar(coords, alphas, 1e6)
 
-    n_rep = 3
+    n_rep = 3 if not reduced else 1
     t0 = time.perf_counter()
     for rep in range(n_rep):
         # Perturb inputs so no layer can serve a cached execution.
@@ -94,12 +99,45 @@ def _parity_extra():
         return None
 
 
+def _probe_tpu(timeout_s: float = 240.0) -> bool:
+    """True iff the TPU (axon) backend initialises and runs a matmul.
+
+    Probed in a SUBPROCESS with a hard timeout: a down tunnel makes
+    ``jax.devices()`` hang indefinitely in-process (observed: the
+    round-2 driver bench timed out producing NO record). On failure the
+    bench falls back to CPU — a slow number with an honest platform tag
+    beats an empty record.
+    """
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((256, 256));"
+            "print((x @ x).sum())")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def main():
+    reduced = False
+    if os.environ.get("JAX_PLATFORMS", "").startswith("axon") \
+            and not _probe_tpu():
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        reduced = True
+        print("bench.py: TPU backend unavailable -> reduced CPU fallback",
+              file=sys.stderr, flush=True)
     import jax
 
-    polar = bench_polar()
+    polar = bench_polar(reduced=reduced)
 
     extra = {
+        "platform": "cpu_fallback" if reduced else "tpu",
+        "n_points": polar["n_points"],
         "polar_seconds_31pts": round(polar["polar_seconds"], 4),
         "viscous_fraction": round(polar["viscous_fraction"], 3),
         "mode_counts": polar["mode_counts"],
@@ -125,13 +163,18 @@ def main():
     try:
         from airfoil_tpu.lbm import bench_mlups
 
-        lbm = bench_mlups()
+        if reduced:     # CPU fallback: small grid, few steps
+            lbm = bench_mlups(nx=256, ny=128, steps_per_call=16, n_calls=2)
+        else:
+            lbm = bench_mlups()
         lbm_extra = {"grid": lbm["grid"], "steps": lbm["steps"],
-                     "pallas": lbm["pallas"]}
+                     "pallas": lbm["pallas"],
+                     "platform": "cpu_fallback" if reduced else "tpu"}
         try:
-            lbm_i = bench_mlups(nx=384, ny=192)
-            lbm_extra["interactive_grid"] = lbm_i["grid"]
-            lbm_extra["interactive_mlups"] = round(lbm_i["mlups"], 1)
+            if not reduced:
+                lbm_i = bench_mlups(nx=384, ny=192)
+                lbm_extra["interactive_grid"] = lbm_i["grid"]
+                lbm_extra["interactive_mlups"] = round(lbm_i["mlups"], 1)
         except Exception:
             pass
         print(json.dumps({

@@ -96,7 +96,8 @@ class TestPolarPoint:
         assert np.isfinite(float(cl)) and np.isfinite(float(cd))
         assert 0.0 <= float(xtru) <= 1.0
         zz, xu, xl = state
-        assert zz.ndim == 1 and zz.shape[0] % 3 == 0
+        from airfoil_tpu.viscous.newton import _N_VARS
+        assert zz.ndim == 1 and zz.shape[0] % _N_VARS == 0
 
     def test_continuation_accepts_donor_state(self, op2412):
         from airfoil_tpu.viscous.newton import (
