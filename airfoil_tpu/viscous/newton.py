@@ -158,7 +158,17 @@ class _Grid(NamedTuple):
     te_gap: jnp.ndarray
 
 
-def _interval_residuals(s, ue, z, nu, w, wake: bool):
+def _n_sat_gate(n, n_crit):
+    """Soft saturation gate for the amplification ODE: ~1 through the
+    n_crit crossing (full laminar growth rate, steep well-conditioned
+    crossing), -> 0 as n approaches the n_crit + 3 state clip, so
+    post-transition n parks at ~n_crit + 2.5 — high enough that the
+    blend weight saturates at exactly 1, low enough that Newton can pull
+    the front back when the profile relaxes."""
+    return jax.nn.sigmoid((n_crit + 2.5 - n) / 0.4)
+
+
+def _interval_residuals(s, ue, z, nu, w, wake: bool, n_crit=9.0):
     """Vectorised residuals for all intervals of one strip (M-1, 4).
 
     ``z``: (M, 4) = (ln theta, ln m, ln ctau, n) at each station.
@@ -219,8 +229,22 @@ def _interval_residuals(s, ue, z, nu, w, wake: bool):
     r3 = (z[1:, 2] - z[:-1, 2]) / ds - rate3
 
     # 4) e^N envelope amplification: dn/ds = rate(Hk, theta, Re_theta)
-    # over the SYSTEM's own profile, frozen (dn = 0) once the blend is
-    # turbulent. In a laminar separated shear layer the system Hk runs to
+    # over the SYSTEM's own profile, saturating softly at n ~ n_crit+2.5
+    # (``_n_sat_gate``). The rate is NOT masked by the turbulence weight:
+    # a (1-w) mask throttles growth exactly at the crossing (half-rate at
+    # n = n_crit), which (a) makes every crossing shallow — the front
+    # grazes n_crit tangentially and f32 noise moves it O(0.1c) (measured
+    # 0.677 vs 0.804 lower-side crossings for the SAME 0012@1e6 alpha=0
+    # point under different compilations), and (b) freezes post-crossing
+    # stations at n ~ n_crit+0.4 where the blend weight saturates at only
+    # ~0.90 — every "turbulent" station then carries a permanent ~10%
+    # laminar closure blend (low Cf, wrong dissipation) for the rest of
+    # the chord. With the saturation gate instead, n runs to ~n_crit+2.5
+    # (w -> 1.0 exactly), the crossing keeps its full laminar slope, and
+    # genuinely turbulent stations self-silence anyway: at their Hk ~ 1.5
+    # (clipped to 2.1) the critical Re_theta is ~1.7e4, far above the
+    # operating range, so the gated rate is already zero.
+    # In a laminar separated shear layer the system Hk runs to
     # 8-12 with theta rising fast — the rate rides both, which is what
     # places short-bubble transition (a march with its Hk pinned at
     # HK_LAM_MAX understates the bubble's growth by ~0.1c at Re 1e6).
@@ -229,7 +253,7 @@ def _interval_residuals(s, ue, z, nu, w, wake: bool):
         r4 = z[1:, 3] - z[:-1, 3]
     else:
         rate_n = cl.amplification_rate(hk, theta, ret)
-        gain = iv(rate_n * (1.0 - w)) * ds
+        gain = iv(rate_n * _n_sat_gate(z[:, 3], n_crit)) * ds
         # Normalised so a high-rate interval (gain >> 1) cannot swamp the
         # least-squares objective: the residual measures the RELATIVE
         # misfit of the n-step there, and the absolute misfit elsewhere.
@@ -340,8 +364,10 @@ def _residual_given_ue(zz, ue_u, ue_l, ue_w, grid, nu, m_s, n_w,
     w_l = _w_station(zl[:, 3], grid.x_l, n_crit, x_trip_l)
 
     ones_w = jnp.ones_like(grid.xi_w)
-    ru = _interval_residuals(grid.xi_u, ue_u, zu, nu, w_u, wake=False)
-    rl = _interval_residuals(grid.xi_l, ue_l, zl, nu, w_l, wake=False)
+    ru = _interval_residuals(grid.xi_u, ue_u, zu, nu, w_u, wake=False,
+                             n_crit=n_crit)
+    rl = _interval_residuals(grid.xi_l, ue_l, zl, nu, w_l, wake=False,
+                             n_crit=n_crit)
     rw = _interval_residuals(grid.xi_w, ue_w, zw, nu, ones_w, wake=True)
 
     # Initial conditions: Falkner-Skan stagnation similarity at station 0
@@ -984,8 +1010,9 @@ def _solve_viscous_newton_impl(
 
     def _reproject_n(zz):
         """Exact re-integration of the amplification ODE over the current
-        iterate's own profile (w evaluated on the carried n — a scalar
-        scan per side). The n-rows' fixed point is unchanged; this removes
+        iterate's own profile (saturation gate evaluated on the carried
+        n — a scalar scan per side). The n-rows' fixed point is unchanged;
+        this removes
         their slow drift mode: LM alone leaves a systematic per-interval
         n misfit of ~0.04 within the rms budget, which moves a marginal
         crossing by ~0.2c (measured as a 0.23c upper/lower transition
@@ -1004,8 +1031,7 @@ def _solve_viscous_newton_impl(
 
             def step(n1, inp):
                 r1, r2, ds, x1 = inp
-                w1 = _w_station(n1, x1, n_crit_t, x_trip_side)
-                n2 = n1 + _avg(r1, r2) * (1.0 - w1) * ds
+                n2 = n1 + _avg(r1, r2) * _n_sat_gate(n1, n_crit_t) * ds
                 n2 = jnp.clip(n2, 0.0, n_crit_t + 3.0)
                 return n2, n2
 
