@@ -103,6 +103,22 @@ def _avg(f1, f2):
     return (1.0 - _AVG_W) * f1 + _AVG_W * f2
 
 
+def _interval_weight(hk_m, dlnue_dxi):
+    """Implicit interval weight per interval.
+
+    Inputs: interval-mean Hk and the imposed log-edge-velocity gradient
+    d(ln ue)/d(xi) (negative in recoveries). Constant by default (XLA
+    folds it). Kept as a seam: an XFOIL-xbl.f style Hk-gated upwind ramp
+    (0.65 -> 1.0 over Hk 3..4.5) was measured through the product path
+    and REJECTED — no stall-tail benefit, attached-flow CD damage (see
+    STATUS.md round-3 notes). An Hk gate also cannot kill the thin
+    spurious root it targets: at that root the solution's own Hk stays
+    attached-small, so the gate never fires — hence the gradient input,
+    which rides the imposed field instead of the solution. Experiments
+    patch this function rather than re-threading the residuals."""
+    return jnp.full_like(hk_m, _AVG_W)
+
+
 def _station_closures(theta, dstar, ue, nu, ctau, w, wake_mask):
     """Blended closure set at every station (elementwise).
 
@@ -187,11 +203,15 @@ def _interval_residuals(s, ue, z, nu, w, wake: bool, n_crit=9.0):
     hk, ret, hs, cf, cd = _station_closures(
         theta, dstar, ue, nu, ctau, w, wake_mask)
 
-    def iv(f):
-        return _avg(f[:-1], f[1:])
-
     ds = jnp.maximum(s[1:] - s[:-1], 1e-8)
     due = ue[1:] - ue[:-1]
+    uw = _interval_weight(
+        0.5 * (hk[:-1] + hk[1:]),
+        due / (jnp.maximum(_avg(ue[:-1], ue[1:]), 1e-3) * ds))
+
+    def iv(f):
+        return (1.0 - uw) * f[:-1] + uw * f[1:]
+
     ue_m = iv(ue)
     t_m = iv(theta)
     h_m = iv(hk)
@@ -888,8 +908,23 @@ def _solve_viscous_newton_impl(
     # suppressed suction peak never amplifies — observed at 0012@1e6
     # alpha=10: converged, cl 1.02, zero transition) while leaving the
     # n-field free to place transition anywhere EARLIER.
-    x_trip_u_t = jnp.minimum(x_trip_t, _xtr_u_march + 0.35)
-    x_trip_l_t = jnp.minimum(x_trip_t, _xtr_l_march + 0.35)
+    #
+    # The slack is PROPORTIONAL to the march front, not fixed: the
+    # march's true-front underestimate scales with the remaining
+    # amplification length (measured against XFOIL fronts: march 0.256
+    # needs +0.204, march 0.048 needs only +0.112, scratch/
+    # probe_march_front.py), while a fixed +0.35 admits the "relieved"
+    # late-transition basin at moderate-high alpha — a self-consistent
+    # thick-laminar state that parks EXACTLY at the ceiling (measured
+    # 2412@1e6 alpha=8-9: xtu 0.397/0.479 = march front + 0.35, CL
+    # riding the inviscid slope) and poisons the polar walk above it.
+    # 0.15 + 0.6*march covers every measured true front with >= 0.03
+    # margin and squeezes out every observed parked basin.
+    def _ceiling(front):
+        return front + 0.15 + 0.6 * front
+
+    x_trip_u_t = jnp.minimum(x_trip_t, _ceiling(_xtr_u_march))
+    x_trip_l_t = jnp.minimum(x_trip_t, _ceiling(_xtr_l_march))
 
     def jac_fn(zz):
         zu, zl, zw = _unpack(zz, m_s, n_w)
