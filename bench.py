@@ -99,26 +99,35 @@ def _parity_extra():
         return None
 
 
-def _probe_tpu(timeout_s: float = 240.0) -> bool:
+def _probe_tpu(timeout_s: float = 180.0) -> bool:
     """True iff the TPU (axon) backend initialises and runs a matmul.
 
     Probed in a SUBPROCESS with a hard timeout: a down tunnel makes
     ``jax.devices()`` hang indefinitely in-process (observed: the
-    round-2 driver bench timed out producing NO record). On failure the
-    bench falls back to CPU — a slow number with an honest platform tag
-    beats an empty record.
+    round-2 driver bench timed out producing NO record). Two attempts:
+    a COLD tunnel can eat the whole first window just establishing the
+    connection (observed: first-ever probe on a fresh machine timed out
+    at 240 s while the very next connect succeeded in seconds) — the
+    failed attempt itself warms the tunnel, so a short second attempt
+    distinguishes "cold but alive" from "down". On failure the bench
+    falls back to CPU — a slow number with an honest platform tag beats
+    an empty record.
     """
     import subprocess
 
     code = ("import jax, jax.numpy as jnp;"
             "x = jnp.ones((256, 256));"
             "print((x @ x).sum())")
-    try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           timeout=timeout_s, capture_output=True)
-        return r.returncode == 0
-    except Exception:
-        return False
+
+    def attempt(t):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=t, capture_output=True)
+            return r.returncode == 0
+        except Exception:
+            return False
+
+    return attempt(timeout_s) or attempt(90.0)
 
 
 def main():
