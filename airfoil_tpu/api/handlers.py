@@ -262,7 +262,11 @@ def handle_polar(filename: str, content: bytes, reynolds: float,
     np.asarray(res.cl)  # force completion before timing
     dt = time.perf_counter() - t0
     increment_analysis_count()
-    mode_names = {0: "viscous", 1: "viscous", 2: "inviscid"}
+    # Strategy reported faithfully per point, matching the single-point
+    # path: "viscous_smoothed" is the reference's Strategy 2 (GDES SMOO,
+    # main.py:308-313) and the internal enum distinguishes it — flattening
+    # it to "viscous" here would hide which points needed the rescue.
+    mode_names = {0: "viscous", 1: "viscous_smoothed", 2: "inviscid"}
     return 200, {
         "success": True,
         "num_points": len(coords),
@@ -280,6 +284,7 @@ def handle_polar(filename: str, content: bytes, reynolds: float,
                 "converged": bool(res.converged[i]),
                 "xtr_upper": round(float(res.xtr_upper[i]), 4),
                 "xtr_lower": round(float(res.xtr_lower[i]), 4),
+                "sep_fraction": round(float(res.sep_fraction[i]), 4),
             }
             for i in range(len(alphas))
         ],

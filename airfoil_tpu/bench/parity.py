@@ -64,8 +64,15 @@ def _solve_polar_points(name: str, re_: float, alphas):
     res = solve_polar(_np.asarray(naca4(*_DIGITS[name], 100), _np.float32),
                       _np.asarray(grid, _np.float32), re_)
     out = {}
+    garr = _np.asarray(grid)
     for a in alphas:
-        i = int(_np.argmin(_np.abs(_np.asarray(grid) - a)))
+        # Exact membership, not nearest-match: the grid was built as the
+        # union of the 0.5-degree sweep and the anchor alphas, so every
+        # anchor must be present bit-exactly — a silent nearest snap would
+        # misattribute a fractional anchor to its neighbour.
+        matches = _np.nonzero(_np.abs(garr - a) < 1e-9)[0]
+        assert matches.size == 1, f"anchor alpha {a} not on the polar grid"
+        i = int(matches[0])
         out[a] = (float(res.cl[i]), float(res.cd[i]),
                   int(res.mode[i]) == MODE_VISCOUS)
     return out

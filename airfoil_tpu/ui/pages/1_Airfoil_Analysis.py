@@ -227,7 +227,10 @@ def polar_png_downloads(df, filename, reynolds):
     except Exception as e:          # pragma: no cover - matplotlib absent
         st.caption(f"PNG export unavailable: {e}")
         return
-    ok = df[(df.get("mode", 0) != 2) & np.isfinite(df.CL)]
+    # mode is the API's string enum ("viscous"/"viscous_smoothed"/
+    # "inviscid"); inviscid points carry CD=0 and must not enter the
+    # CD-based charts.
+    ok = df[(df.get("mode", "viscous") != "inviscid") & np.isfinite(df.CL)]
     if len(ok) < 2:
         return
     st.subheader("📈 Download polar plots")

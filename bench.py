@@ -104,14 +104,17 @@ def _probe_tpu(timeout_s: float = 180.0) -> bool:
 
     Probed in a SUBPROCESS with a hard timeout: a down tunnel makes
     ``jax.devices()`` hang indefinitely in-process (observed: the
-    round-2 driver bench timed out producing NO record). Two attempts:
-    a COLD tunnel can eat the whole first window just establishing the
+    round-2 driver bench timed out producing NO record). Two attempts
+    splitting ONE overall budget of ``timeout_s`` (2/3 then 1/3): a COLD
+    tunnel can eat the whole first window just establishing the
     connection (observed: first-ever probe on a fresh machine timed out
     at 240 s while the very next connect succeeded in seconds) — the
-    failed attempt itself warms the tunnel, so a short second attempt
-    distinguishes "cold but alive" from "down". On failure the bench
-    falls back to CPU — a slow number with an honest platform tag beats
-    an empty record.
+    failed attempt itself warms the tunnel, so the shorter second attempt
+    distinguishes "cold but alive" from "down". Worst case (TPU genuinely
+    down) the probe consumes exactly ``timeout_s`` of the driver's
+    budget before the reduced CPU bench runs. On failure the bench falls
+    back to CPU — a slow number with an honest platform tag beats an
+    empty record.
     """
     import subprocess
 
@@ -127,7 +130,7 @@ def _probe_tpu(timeout_s: float = 180.0) -> bool:
         except Exception:
             return False
 
-    return attempt(timeout_s) or attempt(90.0)
+    return attempt(timeout_s * 2.0 / 3.0) or attempt(timeout_s / 3.0)
 
 
 def main():

@@ -143,7 +143,13 @@ class TestAnalysis:
         cls = [p["CL"] for p in body["polar"]]
         assert all(np.diff(cls) > 0)
         assert {"alpha", "CL", "CD", "CDp", "Cm", "mode", "converged",
-                "xtr_upper", "xtr_lower"} <= set(body["polar"][0])
+                "xtr_upper", "xtr_lower", "sep_fraction"} \
+            <= set(body["polar"][0])
+        # The per-point strategy enum is reported faithfully — Strategy 2
+        # must surface as "viscous_smoothed", never flattened to "viscous".
+        assert all(p["mode"] in ("viscous", "viscous_smoothed", "inviscid")
+                   for p in body["polar"])
+        assert all(0.0 <= p["sep_fraction"] <= 1.0 for p in body["polar"])
 
 
 class TestLBM:

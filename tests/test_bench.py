@@ -93,3 +93,35 @@ class TestClassifiers:
         assert flags["line_skip"]
         assert flags["range_filter"]  # the point-count line is out-of-range
         assert not flags["winding_fixed"]
+
+
+class TestParityHarness:
+    def test_anchor_alphas_exact_grid_membership(self):
+        """Every vendored anchor alpha must land bit-exactly on the polar
+        grid the parity harness builds (union of the 0.5-degree sweep and
+        the anchors) — the lookup asserts exact membership, never a silent
+        nearest-match snap."""
+        import numpy as np
+
+        from airfoil_tpu.bench.parity import load_truth
+
+        anchors = load_truth()
+        groups = {}
+        for (name, re_, alpha) in anchors:
+            groups.setdefault((name, re_), []).append(alpha)
+        for (_name, _re), alphas in groups.items():
+            hi = max(9.0, max(alphas))
+            grid = sorted(set(np.arange(-2.0, hi + 0.01, 0.5).tolist())
+                          | set(alphas))
+            garr = np.asarray(grid)
+            for a in alphas:
+                assert (np.abs(garr - a) < 1e-9).sum() == 1
+
+    def test_fractional_anchor_would_be_caught(self):
+        """A fractional alpha NOT on the grid raises instead of snapping."""
+        import numpy as np
+
+        garr = np.asarray(sorted(set(np.arange(-2.0, 9.01, 0.5).tolist())))
+        a = 4.27
+        matches = np.nonzero(np.abs(garr - a) < 1e-9)[0]
+        assert matches.size == 0  # the harness's assert would fire
