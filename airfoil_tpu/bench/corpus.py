@@ -149,13 +149,49 @@ def _hard_geometry(rng):
     return coords, tag
 
 
-def generate_corpus(out_dir: str, n: int = 200, seed: int = 0) -> list[str]:
+def _hard_lednicer_lines(coords, rng):
+    """Adversarial Lednicer variants built from the reference's measured
+    hard cases (its 142 both-failed files include Lednicer files its own
+    parser could not rescue — benchmark/failure_classification.csv): no
+    counts line at all (sections split by blank lines only), lower section
+    FIRST, counts lines with parenthetical text, and three-column rows
+    (x y station-index) that must still parse as coordinate pairs."""
+    le = int(np.argmin(coords[:, 0]))
+    upper = coords[: le + 1][::-1]
+    lower = coords[le:]
+    u = rng.random()
+    if u < 0.35:
+        # No counts line: two LE->TE blocks separated by a blank line.
+        lines = ["UIUC-STYLE NO-COUNTS", ""]
+        lines += [f" {x:.5f}  {y:.5f}" for x, y in upper]
+        lines.append("")
+        lines += [f" {x:.5f}  {y:.5f}" for x, y in lower]
+        return lines, "lednicer_nocounts"
+    if u < 0.60:
+        # Counts line with trailing text (real UIUC files carry comments).
+        lines = [f"SECTION ({len(upper)} upper, {len(lower)} lower pts)",
+                 "", f" {len(upper)}.  {len(lower)}.   (see note)", ""]
+        lines += [f" {x:.5f}  {y:.5f}" for x, y in upper]
+        lines.append("")
+        lines += [f" {x:.5f}  {y:.5f}" for x, y in lower]
+        return lines, "lednicer_comment"
+    # Three-column rows: x y index.
+    lines = ["THREE COLUMN EXPORT", "", f" {len(upper)}.  {len(lower)}.", ""]
+    lines += [f" {x:.5f} {y:.5f} {i + 1}" for i, (x, y) in enumerate(upper)]
+    lines.append("")
+    lines += [f" {x:.5f} {y:.5f} {i + 1}" for i, (x, y) in enumerate(lower)]
+    return lines, "lednicer_3col"
+
+
+def generate_corpus(out_dir: str, n: int = 500, seed: int = 0) -> list[str]:
     """Write ``n`` synthetic .dat files; returns the file paths.
 
     Formatting population (matching the reference's observed class mix,
-    scaled): ~50% Lednicer with real formatting variation, ~20% clean
-    Selig, ~12% Selig with digitisation noise/headers/stray points, ~5%
-    reversed winding, ~5% closed-TE, ~4% multi-element, ~4% degenerate
+    scaled): ~42% Lednicer with real formatting variation, ~8% adversarial
+    hard-Lednicer (no counts line / annotated counts / 3-column rows),
+    ~18% clean Selig, ~12% Selig with digitisation noise/headers/stray
+    points, ~5% reversed winding, ~5% closed-TE, ~6% multi-element (the
+    reference's dominant both-failed class: 105/142), ~4% degenerate
     (too few points / non-monotone). Geometry alternates between NACA4
     variants and the hard families above.
     """
@@ -181,7 +217,7 @@ def generate_corpus(out_dir: str, n: int = 200, seed: int = 0) -> list[str]:
                                        len(coords))
 
         u = rng.random()
-        if u < 0.50:
+        if u < 0.42:
             style = rng.random()
             counts = (" {nu}.  {nl}." if style < 0.5 else
                       "{nu} {nl}" if style < 0.75 else "  {nu}.0 {nl}.0")
@@ -192,10 +228,12 @@ def generate_corpus(out_dir: str, n: int = 200, seed: int = 0) -> list[str]:
                                     dup_le=rng.random() < 0.7,
                                     counts_style=counts, sep=sep)
             kind = "lednicer"
-        elif u < 0.70:
+        elif u < 0.50:
+            lines, kind = _hard_lednicer_lines(coords, rng)
+        elif u < 0.68:
             lines = _selig_lines(coords, header=f"{name} section")
             kind = "selig"
-        elif u < 0.82:
+        elif u < 0.80:
             noisy = coords.copy()
             noisy[:, 1] += rng.normal(0, 2e-4, len(noisy))
             lines = _selig_lines(noisy, header=f"{name} (noisy)")
@@ -205,7 +243,7 @@ def generate_corpus(out_dir: str, n: int = 200, seed: int = 0) -> list[str]:
         elif u < 0.87:
             lines = _selig_lines(coords[::-1], header=f"{name} reversed")
             kind = "reversed"
-        elif u < 0.92:
+        elif u < 0.90:
             closed = np.vstack([coords, coords[:1]])
             closed[0, 1] = closed[-1, 1] = 0.0
             closed[0, 0] = closed[-1, 0] = 1.0

@@ -21,14 +21,22 @@ from airfoil_tpu.lbm.masks import rasterize_airfoil
 __all__ = ["bench_mlups"]
 
 
-def bench_mlups(nx: int = 640, ny: int = 384, steps_per_call: int = 64,
+def bench_mlups(nx: int = 640, ny: int = 384, steps_per_call: int = 128,
                 n_calls: int = 8, use_pallas: bool | None = None) -> dict:
     """Peak-throughput configuration: the largest lattice whose two
     (9, NY, NX) f32 buffers stay VMEM-resident (~8.8 MB each) with enough
     fused steps per dispatch to amortise the launch latency. The
     interactive wind-tunnel grid (384x192, LBMConfig default) runs the
     same kernel at lower MLUPS because each frame is latency- not
-    throughput-bound."""
+    throughput-bound.
+
+    steps_per_call matters through the TUNNELED backend: each dispatch
+    pays ~3 ms of RPC latency (measured v5e-over-axon, 2026-08), while the
+    kernel's marginal cost is ~42-47 us/step at 640x384 — at 64 fused
+    steps/call the dispatch overhead eats ~half the throughput (the
+    round-1 -> round-3 bench "regression" 3041 -> 2597 MLUPS was latency
+    variance of exactly this term, not a kernel change). 128 steps/call
+    amortises it to <10%; see docs/VALIDATION.md for the roofline."""
     from airfoil_tpu.models import naca4
 
     cfg = LBMConfig(nx=nx, ny=ny)

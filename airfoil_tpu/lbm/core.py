@@ -95,18 +95,43 @@ def boundary_masks(ny: int, nx: int):
     return is_outlet, is_edge_eq
 
 
+def bounce_masks(solid, roll2=_jnp_roll2):
+    """Per-direction bounce-back selection masks, loop-invariant in time.
+
+    ``bounce[i]`` is True where direction i's incoming population must be
+    replaced by the cell's own reversed population: either the streaming
+    source cell is solid (half-way bounce-back, html:325-334) or the cell
+    itself is solid (solid cells hold reversed populations, html:287-294).
+    The solid mask never changes between steps, so hoisting these 8 rolls
+    (+ the merged select) out of the K-step fused loop removes ~1/3 of the
+    per-step roll traffic in the Pallas kernel."""
+    is_solid = solid > 0.5
+    out = []
+    for i in range(9):
+        ex, ey = int(D2Q9_E[i, 0]), int(D2Q9_E[i, 1])
+        if ex == 0 and ey == 0:
+            out.append(is_solid)
+        else:
+            out.append((roll2(solid, ey, ex) > 0.5) | is_solid)
+    return tuple(out)
+
+
 def step_body(f, solid, u0, tau, roll2=_jnp_roll2, masks=None,
-              u_max=0.35, rho_min=0.5, rho_max=2.0):
+              u_max=0.35, rho_min=0.5, rho_max=2.0, bounce=None):
     """One fused stream+BC+collide step. ``f``: (9, NY, NX); ``solid``:
     (NY, NX) float {0,1}. ``masks``: optional precomputed
     (is_outlet, is_edge_eq) — required when rows are a shard of a larger
-    grid (local iota would misplace the global edges). Returns the next
+    grid (local iota would misplace the global edges). ``bounce``: optional
+    precomputed ``bounce_masks`` (they are time-invariant; callers running
+    K fused steps hoist them out of the loop). Returns the next
     (9, NY, NX)."""
     ny, nx = f.shape[1], f.shape[2]
     dtype = f.dtype
 
     is_outlet, is_edge_eq = masks if masks is not None else boundary_masks(ny, nx)
     is_solid = solid > 0.5
+    if bounce is None:
+        bounce = bounce_masks(solid, roll2)
 
     # Stream (gather): value at x comes from x - e_i => roll by +e_i.
     # Grid row index increases with +y, so a +ey shift is a +axis0 roll.
@@ -117,11 +142,9 @@ def step_body(f, solid, u0, tau, roll2=_jnp_roll2, masks=None,
     for i in range(9):
         ex, ey = int(D2Q9_E[i, 0]), int(D2Q9_E[i, 1])
         streamed = roll2(f[i], ey, ex)
-        src_solid = roll2(solid, ey, ex) > 0.5
-        # Bounce-back when the upstream cell is solid (html:325-334).
-        v = jnp.where(src_solid, f[D2Q9_OPP[i]], streamed)
-        # Solid cells hold their reversed populations (html:287-294).
-        v = jnp.where(is_solid, f[D2Q9_OPP[i]], v)
+        # Bounce-back when the source cell or the cell itself is solid
+        # (precomputed mask; identical arithmetic to the two-select form).
+        v = jnp.where(bounce[i], f[D2Q9_OPP[i]], streamed)
         # Zero-gradient outflow: copy the left neighbour's pre-stream state
         # (html:301-312).
         v = jnp.where(is_outlet, roll2(f[i], 0, 1), v)
@@ -166,6 +189,8 @@ def step_body(f, solid, u0, tau, roll2=_jnp_roll2, masks=None,
 @partial(jax.jit, static_argnames=("steps",))
 def lbm_step(f, solid, u0, tau, steps: int = 1):
     """Advance ``steps`` fused stream-collide steps (XLA path)."""
+    bounce = bounce_masks(solid)
+
     def body(_, fc):
-        return step_body(fc, solid, u0, tau)
+        return step_body(fc, solid, u0, tau, bounce=bounce)
     return jax.lax.fori_loop(0, steps, body, f)

@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from airfoil_tpu.lbm.core import step_body
+from airfoil_tpu.lbm.core import bounce_masks, step_body
 
 __all__ = ["lbm_steps_pallas", "lbm_steps_pallas_tiled"]
 
@@ -40,9 +40,13 @@ def _kernel(scal_ref, f_ref, solid_ref, out_ref, *, steps):
     u0 = scal_ref[0]
     tau = scal_ref[1]
     solid = solid_ref[:]
+    # Solid-geometry rolls are time-invariant: hoist all 8 out of the
+    # K-step fused loop (~1/3 of the per-step roll traffic).
+    bounce = bounce_masks(solid, roll2=_pltpu_roll2)
 
     def body(_, f):
-        return step_body(f, solid, u0, tau, roll2=_pltpu_roll2)
+        return step_body(f, solid, u0, tau, roll2=_pltpu_roll2,
+                         bounce=bounce)
 
     out_ref[:] = jax.lax.fori_loop(0, steps, body, f_ref[:])
 
@@ -121,9 +125,10 @@ def _tiled_kernel(scal_ref, f_hbm, solid_hbm, out_hbm,
 
     fcur = fwin[:]
     solid = swin[:]
+    bounce = bounce_masks(solid, roll2=_pltpu_roll2)
     for _ in range(steps):
         fcur = step_body(fcur, solid, u0, tau, roll2=_pltpu_roll2,
-                         masks=(is_outlet, is_edge_eq))
+                         masks=(is_outlet, is_edge_eq), bounce=bounce)
 
     # Mosaic cannot dynamic-slice a vector value; round-trip through the
     # window scratch ref and DMA the interior rows out with a ref slice.

@@ -23,7 +23,7 @@ try:
 except ImportError:  # older jax
     from jax.experimental.shard_map import shard_map
 
-from airfoil_tpu.lbm.core import boundary_masks, step_body
+from airfoil_tpu.lbm.core import boundary_masks, bounce_masks, step_body
 
 __all__ = ["sharded_lbm_steps", "dryrun_sharded_step"]
 
@@ -81,9 +81,12 @@ def sharded_lbm_steps(mesh: Mesh, f, solid, u0, tau, steps: int,
             edge_ext = halo_extend(edge_loc, 0, k)
             f_ext = halo_extend(f_loc, 1, k)
 
+            bounce_ext = bounce_masks(solid_ext)
+
             def one(_, fc):
                 return step_body(fc, solid_ext, u0, tau,
-                                 masks=(outlet_ext, edge_ext))
+                                 masks=(outlet_ext, edge_ext),
+                                 bounce=bounce_ext)
 
             f_ext = lax.fori_loop(0, k, one, f_ext)
             return f_ext[:, k:-k, :]
