@@ -36,9 +36,11 @@ from airfoil_tpu.inviscid import solve_inviscid
 from airfoil_tpu.polar.sweep import (
     _N_STATIONS,
     _op_kernel,
+    _op_kernel_smoothed,
     _walk,
     MODE_INVISCID,
     MODE_VISCOUS,
+    MODE_VISCOUS_SMOOTHED,
 )
 from airfoil_tpu.viscous.newton import solve_polar_point
 
@@ -76,19 +78,23 @@ def shard_polar_inputs(mesh: Mesh, alphas, reynolds):
             pad, unsort)
 
 
-def _local_polar(op, alphas, reynolds):
-    """One device's polar: batched pass + walk over its local alpha block.
-
-    ``alphas`` here is the device-local block (already sorted ascending).
-    Mirrors the single-chip pipeline minus the smoothed-geometry rescue
-    (strategy 2) — failures go straight to the inviscid fill.
-    """
-    p_local = alphas.shape[0]
-    m1, (nok1, st1) = jax.vmap(
+def _local_points(op, alphas, reynolds):
+    """One device's batched per-point pass over its local alpha block."""
+    return jax.vmap(
         lambda a, re_: solve_polar_point(op, a, re_,
                                          n_stations=_N_STATIONS)
     )(alphas, reynolds)
 
+
+def _local_walk(op, alphas, reynolds, m1, nok1, st1):
+    """One device's continuation walk + inviscid fill + selection.
+
+    ``alphas`` here is the device-local block (already sorted ascending).
+    Returns the selected per-point tuple plus the strategy-1 acceptance
+    mask (the smoothed rescue and final mode selection run in their own
+    dispatch).
+    """
+    p_local = alphas.shape[0]
     pos0 = jnp.argmin(jnp.abs(alphas))
     pos = jnp.arange(p_local)
     a_seq = jnp.concatenate([alphas, alphas[::-1]])
@@ -118,47 +124,133 @@ def _local_polar(op, alphas, reynolds):
         r = solve_inviscid(op, a)
         return r.cl, r.cm
     cl3, cm3 = jax.vmap(inv_point)(alphas)
+    return v1, use1, cl3, cm3
 
-    one = jnp.ones_like(alphas)
-    cl = jnp.where(use1, v1[0], cl3)
-    cd = jnp.where(use1, v1[1], 0.0 * one)
-    cdp = jnp.where(use1, v1[2], 0.0 * one)
-    cm = jnp.where(use1, v1[3], cm3)
-    xtru = jnp.where(use1, v1[5], one)
-    xtrl = jnp.where(use1, v1[6], one)
-    sep = jnp.where(use1, v1[7], 0.0 * one)
-    mode = jnp.where(use1, MODE_VISCOUS, MODE_INVISCID)
-    converged = jnp.ones_like(use1)
+
+def _local_rescue(op_s, alphas, reynolds, use1):
+    """Strategy 2 on one device's block: ANY local failure triggers a full
+    local smoothed-geometry pass (``lax.cond`` skips it on clean shards —
+    the cost model of the single-chip rescue bucket, per shard). This
+    restores the reference's three-strategy contract on the sharded path
+    (run_xfoil_sync's GDES SMOO retry, main.py:308-313), which the round-3
+    layout dropped."""
+    def run(_):
+        out, _extra = jax.vmap(
+            lambda a, re_: solve_polar_point(op_s, a, re_,
+                                             n_stations=_N_STATIONS)
+        )(alphas, reynolds)
+        return out
+
+    def skip(_):
+        z = jnp.zeros_like(alphas)
+        return (z, z, z, z, jnp.zeros(alphas.shape, bool), z, z, z)
+
+    any_fail = jnp.logical_not(jnp.all(use1))
+    return jax.lax.cond(any_fail, run, skip, None)
+
+
+def _select_three_strategy(v1, use1, v2, cl3, cm3):
+    """Final masked three-strategy precedence (viscous -> smoothed ->
+    inviscid), elementwise — mirrors the single-chip ``_polar_kernel``
+    tail."""
+    use2 = jnp.logical_and(jnp.logical_not(use1), v2[4])
+    use3 = jnp.logical_not(jnp.logical_or(use1, use2))
+
+    def pick(i1, i2, i3):
+        return jnp.where(use1, i1, jnp.where(use2, i2, i3))
+
+    one = jnp.ones_like(cl3)
+    cl = pick(v1[0], v2[0], cl3)
+    cd = pick(v1[1], v2[1], 0.0 * one)
+    cdp = pick(v1[2], v2[2], 0.0 * one)
+    cm = pick(v1[3], v2[3], cm3)
+    xtru = pick(v1[5], v2[5], one)
+    xtrl = pick(v1[6], v2[6], one)
+    sep = pick(v1[7], v2[7], 0.0 * one)
+    mode = jnp.where(use1, MODE_VISCOUS,
+                     jnp.where(use2, MODE_VISCOUS_SMOOTHED, MODE_INVISCID))
+    converged = jnp.logical_or(use1, jnp.logical_or(use2, use3))
     return (cl, cd, cdp, cm, mode.astype(jnp.int32), converged,
             xtru, xtrl, sep)
 
 
+# The sharded pipeline compiles as SEPARATE dispatches (points pass, walk,
+# rescue) exactly like the single-chip pipeline in polar/sweep.py — the
+# round-3 single mega-kernel tripped XLA's 2-minute slow-compile alarm on
+# an 8-device mesh; XLA's optimisation passes are superlinear in module
+# size, and each unit here is independently served by the persistent
+# compile cache.
+
 @partial(jax.jit, static_argnames=("mesh",))
-def _sharded_kernel(op, alphas, reynolds, mesh):
+def _sharded_points_kernel(op, alphas, reynolds, mesh):
     spec_op = jax.tree.map(lambda _: P(), op)
+    fn = jax.shard_map(
+        _local_points, mesh=mesh,
+        in_specs=(spec_op, P("batch"), P("batch")),
+        out_specs=P("batch"), check_vma=False)
+    return fn(op, alphas, reynolds)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _sharded_walk_kernel(op, alphas, reynolds, m1, nok1, st1, mesh):
     # check_vma off: the walk's scan carries initialise from unvarying
     # constants (False/zeros) and become device-varying on the first
     # accepted point — semantically fine (everything here is per-shard
     # local with no collectives), but the VMA consistency check would
     # demand pcast noise through the shared _walk code.
+    spec_op = jax.tree.map(lambda _: P(), op)
+    spec_b = P("batch")
     fn = jax.shard_map(
-        _local_polar, mesh=mesh,
-        in_specs=(spec_op, P("batch"), P("batch")),
+        _local_walk, mesh=mesh,
+        in_specs=(spec_op, spec_b, spec_b,
+                  jax.tree.map(lambda _: spec_b, m1), spec_b,
+                  jax.tree.map(lambda _: spec_b, st1)),
+        out_specs=(jax.tree.map(lambda _: spec_b, m1), spec_b,
+                   spec_b, spec_b),
+        check_vma=False)
+    return fn(op, alphas, reynolds, m1, nok1, st1)
+
+
+@partial(jax.jit, static_argnames=("mesh",))
+def _sharded_rescue_kernel(op_s, alphas, reynolds, use1, mesh):
+    spec_op = jax.tree.map(lambda _: P(), op_s)
+    fn = jax.shard_map(
+        _local_rescue, mesh=mesh,
+        in_specs=(spec_op, P("batch"), P("batch"), P("batch")),
         out_specs=P("batch"), check_vma=False)
-    return fn(op, alphas, reynolds)
+    return fn(op_s, alphas, reynolds, use1)
+
+
+@jax.jit
+def _select_kernel(v1, use1, v2, cl3, cm3):
+    return _select_three_strategy(v1, use1, v2, cl3, cm3)
 
 
 def sharded_polar(mesh: Mesh, coords, alphas, reynolds, n_panels: int = 160):
     """Run a polar with points sharded data-parallel across the mesh.
 
     Returns the same tuple as the single-chip polar kernel (in the
-    caller's point order, padding stripped).
+    caller's point order, padding stripped). Pipeline of four separately
+    compiled dispatches; the only host round-trip is the per-shard
+    failure mask (to skip compiling/dispatching the rescue on clean
+    polars — the single-chip pipeline's exact structure).
     """
     coords = jnp.asarray(np.asarray(coords, np.float32))
     a_sh, re_sh, pad, unsort = shard_polar_inputs(mesh, alphas, reynolds)
     replicated = NamedSharding(mesh, P())
     op, _xp, _yp = _op_kernel(jax.device_put(coords, replicated), n_panels)
-    out = _sharded_kernel(op, a_sh, re_sh, mesh)
+    m1, (nok1, st1) = _sharded_points_kernel(op, a_sh, re_sh, mesh)
+    v1, use1, cl3, cm3 = _sharded_walk_kernel(
+        op, a_sh, re_sh, m1, nok1, st1, mesh)
+
+    if bool(np.asarray(jnp.all(use1))):
+        zeros = jax.tree.map(jnp.zeros_like, v1)
+        v2 = zeros[:4] + (jnp.zeros(use1.shape, bool),) + zeros[5:]
+    else:
+        op_s = _op_kernel_smoothed(
+            jax.device_put(coords, replicated), n_panels)
+        v2 = _sharded_rescue_kernel(op_s, a_sh, re_sh, use1, mesh)
+    out = _select_kernel(v1, use1, v2, cl3, cm3)
     out = tuple(np.asarray(o) for o in out)
     if pad:
         out = tuple(o[:-pad] for o in out)

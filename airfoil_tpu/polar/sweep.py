@@ -51,6 +51,10 @@ MODE_INVISCID = 2
 
 _N_STATIONS = 96
 
+# Walk bisection rescue (see _walk): trace-time gate so A/B probes can
+# toggle it per-process before the first solve_polar call.
+_BISECT = False
+
 
 class PolarResult(NamedTuple):
     """Per-point polar arrays; all shapes (P,) for P (alpha, Re) pairs."""
@@ -175,6 +179,32 @@ def _walk(op, a_seq, re_seq, active, seg_start, m1_seq, nok1_seq, st1_seq,
             return zeros8, jnp.array(False), stc
 
         mc, nokc, stc_new = jax.lax.cond(run_cont, cont, skip, st)
+
+        # Bisection rescue: when the direct donor->target continuation
+        # fails (the fold near CL_max bends faster than one walk step),
+        # take the half-step first — solve (a_donor + a)/2 from the
+        # donor, then the target from the midpoint state. Paid only on
+        # failure (lax.cond), which is what keeps the clean-polar walk at
+        # its old cost; this is the alpha-bracket continuation XFOIL
+        # users do by hand with finer ASEQ steps through stall.
+        if _BISECT:
+            a_half = 0.5 * (hist[1] + a)
+
+            def bisect(stc):
+                mh, (nokh, st_h) = solve_polar_point_cont(
+                    op, a_half, re_, *stc, n_stations=_N_STATIONS)
+                st_mid = _tree_where(nokh, st_h, stc)
+                mb, (nokb, st_b) = solve_polar_point_cont(
+                    op, a, re_, *st_mid, n_stations=_N_STATIONS)
+                return mb, jnp.logical_and(nokh, nokb), st_b
+
+            run_bisect = jnp.logical_and(
+                run_cont,
+                jnp.logical_and(jnp.logical_not(nokc), hist[0] >= 1))
+            mb, nokb, stb_new = jax.lax.cond(run_bisect, bisect, skip, st)
+            mc = _tree_where(nokc, mc, mb)
+            stc_new = _tree_where(nokc, stc_new, stb_new)
+            nokc = jnp.logical_or(nokc, nokb)
 
         use1 = jnp.logical_and(act, adopt1)
         # A continuation result must ALSO sit on the trend: a wrong-basin

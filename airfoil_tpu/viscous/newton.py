@@ -97,6 +97,16 @@ _W_N = 0.20            # n-width of the free-transition blend sigmoid:
 #                        ~0.15c and let the solve settle knife-edge
 #                        states 0.1c apart between compilation contexts.
 _N_VARS = 4            # (ln theta, ln m, ln ctau, n) per station
+# LM budget knobs (module-level so calibration probes can patch them):
+# _RMS_OK is the settled gate; _FUTILITY stops a point whose round made
+# less than (1 - _FUTILITY) relative progress.
+_RMS_OK = 0.035
+_FUTILITY = 0.92
+# CD-ceiling wrong-basin guard coefficients (see the cd_hi comment in
+# _solve_viscous_newton_impl); module-level so A/B probes can patch them
+# before the first trace.
+_CD_HI_COEF = 0.25
+_CD_HI_SEP = 0.30
 
 
 def _avg(f1, f2):
@@ -533,16 +543,20 @@ def _seed_plan(m_s: int, n_w: int):
 
 
 def _warm_start(op, wop, grid, vt0, nu, n_crit, x_trip, m_s, n_w,
-                warm_iters: int):
+                warm_iters: int, x_trip_lower=None):
     """Direct under-relaxed iterations to produce the Newton initial state.
 
     Mirrors the fixed-point loop of ``coupled.solve_viscous`` but keeps the
     raw BLState arrays so every Newton unknown can be initialised.
     """
     pan = op.pan
+    if x_trip_lower is None:
+        x_trip_lower = x_trip
+    trips = jnp.stack([jnp.asarray(x_trip, pan.xm.dtype),
+                       jnp.asarray(x_trip_lower, pan.xm.dtype)])
 
     march_pair = jax.vmap(
-        lambda s, ue, x: march_side(s, ue, x, nu, n_crit, x_trip))
+        lambda s, ue, x, xf: march_side(s, ue, x, nu, n_crit, xf))
 
     def one(sigma_b, sigma_w):
         vt = vt0 + op.due_dsigma @ sigma_b + wop.dvt_dsigw @ sigma_w
@@ -553,7 +567,7 @@ def _warm_start(op, wop, grid, vt0, nu, n_crit, x_trip, m_s, n_w,
                            0.02)
         bl2 = march_pair(jnp.stack([grid.xi_u, grid.xi_l]),
                          jnp.stack([ue_u, ue_l]),
-                         jnp.stack([grid.x_u, grid.x_l]))
+                         jnp.stack([grid.x_u, grid.x_l]), trips)
         bl_u = jax.tree.map(lambda a: a[0], bl2)
         bl_l = jax.tree.map(lambda a: a[1], bl2)
         ue_w = wop.uw0 + wop.wb @ sigma_b + wop.ww @ sigma_w
@@ -701,12 +715,17 @@ def solve_viscous_newton(
     warm_iters: int = 8,
     newton_iters: int = 12,
     outer_rounds: int = 4,
+    x_forced_transition_lower: float | None = None,
 ) -> ViscousResult:
     """Coupled viscous solve at one (alpha, Re) by simultaneous Newton
     with transition (the amplification field) inside the system. Budget:
     up to ``outer_rounds`` restart rounds of ``newton_iters`` LM
     iterations, exiting early once settled. Same result contract as
     ``coupled.solve_viscous``; vmap over alpha/Re.
+
+    ``x_forced_transition_lower``: optional separate lower-surface trip
+    (XFOIL's ``XTR`` sets the two surfaces independently); ``None`` means
+    both surfaces use ``x_forced_transition``.
     """
     # The LM path's basin selection is sensitive to matmul rounding; on
     # TPU the default matmul precision (bf16 passes) diverges from CPU f32
@@ -715,7 +734,8 @@ def solve_viscous_newton(
     with jax.default_matmul_precision("highest"):
         res, _fb, _state = _solve_viscous_newton_impl(
             op, alpha_deg, reynolds, n_crit, x_forced_transition,
-            n_stations, n_wake, warm_iters, newton_iters, outer_rounds)
+            n_stations, n_wake, warm_iters, newton_iters, outer_rounds,
+            x_trip_lower=x_forced_transition_lower)
         return res
 
 
@@ -830,6 +850,7 @@ def _solve_viscous_newton_impl(
     newton_iters,
     outer_rounds,
     init_state=None,
+    x_trip_lower=None,
 ):
     pan = op.pan
     nu = 1.0 / reynolds
@@ -855,7 +876,7 @@ def _solve_viscous_newton_impl(
 
     zz0, _xtr_u_march, _xtr_l_march, warm_state = _warm_start(
         op, wop, grid, vt0, nu, n_crit, x_forced_transition, m_s, n_w,
-        warm_iters)
+        warm_iters, x_trip_lower=x_trip_lower)
 
     def _rms(r):
         r = jnp.where(jnp.isfinite(r), r, 1e6)
@@ -901,6 +922,8 @@ def _solve_viscous_newton_impl(
 
     n_crit_t = jnp.asarray(n_crit, dtype)
     x_trip_t = jnp.asarray(x_forced_transition, dtype)
+    x_trip_lo_t = (x_trip_t if x_trip_lower is None
+                   else jnp.asarray(x_trip_lower, dtype))
     # Per-side trip CEILING: the user trip, tightened to the warm march's
     # own front plus slack. The march (leash-forced at laminar separation)
     # cannot run all-laminar, so this closes the coupled system's
@@ -924,7 +947,7 @@ def _solve_viscous_newton_impl(
         return front + 0.15 + 0.6 * front
 
     x_trip_u_t = jnp.minimum(x_trip_t, _ceiling(_xtr_u_march))
-    x_trip_l_t = jnp.minimum(x_trip_t, _ceiling(_xtr_l_march))
+    x_trip_l_t = jnp.minimum(x_trip_lo_t, _ceiling(_xtr_l_march))
 
     def jac_fn(zz):
         zu, zl, zw = _unpack(zz, m_s, n_w)
@@ -1041,8 +1064,6 @@ def _solve_viscous_newton_impl(
     else:
         zz_i = init_state[0]
 
-    _RMS_OK = 0.035
-
     def _reproject_n(zz):
         """Exact re-integration of the amplification ODE over the current
         iterate's own profile (saturation gate evaluated on the carried
@@ -1096,7 +1117,8 @@ def _solve_viscous_newton_impl(
         ok_r = jnp.logical_and(rms_r < best_rms, jnp.all(jnp.isfinite(zz)))
         best_zz = jnp.where(ok_r, zz, best_zz)
         best_rms = jnp.where(ok_r, rms_r, best_rms)
-        done = jnp.logical_or(rms_r < _RMS_OK, rms_r > 0.92 * rms_prev)
+        done = jnp.logical_or(rms_r < _RMS_OK,
+                              rms_r > _FUTILITY * rms_prev)
         if os.environ.get("AIRFOIL_TPU_DEBUG_ROUNDS"):
             jax.debug.print(
                 "round a={a:.1f} k={k} rms={r:.4f} done={d}",
@@ -1201,9 +1223,12 @@ def _solve_viscous_newton_impl(
     # pressure drag far beyond it (CD ~ 0.03-0.10 through CL_max), so the
     # ceiling scales with the separated fraction — without this the gate
     # structurally rejected every post-peak solution (at Re=1e6 the
-    # attached ceiling is 0.0158; real stall CD is double that).
-    cd_hi = 0.25 * reynolds ** -0.2 \
-        + 0.30 * jnp.clip(sep_fraction, 0.0, 0.4)
+    # attached ceiling is 0.0158; real stall CD is double that). The
+    # ceiling is a WRONG-BASIN guard, not an accuracy test; the
+    # coefficients live at module level (_CD_HI_COEF/_CD_HI_SEP) so stall
+    # campaigns can A/B a looser ceiling without editing the trace.
+    cd_hi = _CD_HI_COEF * reynolds ** -0.2 \
+        + _CD_HI_SEP * jnp.clip(sep_fraction, 0.0, 0.4)
     cd_sane = jnp.logical_and(cd > cd_lo, cd < cd_hi)
     finite = (jnp.all(jnp.isfinite(zz)) & jnp.isfinite(cl_c)
               & jnp.isfinite(cd))
@@ -1223,7 +1248,7 @@ def _solve_viscous_newton_impl(
                          jnp.stack([ue_u, ue_l]),
                          jnp.stack([grid.x_u, grid.x_l]),
                          jnp.stack([jnp.minimum(xtr_u, x_trip_t),
-                                    jnp.minimum(xtr_l, x_trip_t)]))
+                                    jnp.minimum(xtr_l, x_trip_lo_t)]))
     th_chk = bl_chk.theta[0, -1] + bl_chk.theta[1, -1]
     th_sys = jnp.exp(zu[-1, 0]) + jnp.exp(zl[-1, 0])
     ratio = th_chk / jnp.maximum(th_sys, 1e-10)
@@ -1242,7 +1267,7 @@ def _solve_viscous_newton_impl(
     # Separation cap 0.40 (was 0.25): CL_max states legitimately carry
     # ~1/3 of their stations separated; beyond 0.40 the closure set is
     # out of its envelope and the result is untrustworthy regardless.
-    converged = (finite & (rms < 0.035) & (sep_fraction < 0.40)
+    converged = (finite & (rms < _RMS_OK) & (sep_fraction < 0.40)
                  & cl_sane & cd_sane & march_consistent)
 
     import os as _os
