@@ -171,9 +171,20 @@ def march_side(
     m = s.shape[0]
     theta0, dstar0 = stagnation_ic(s[0], ue[0], nu)
 
+    # Trip coordinate: chordwise x masked to -1 BEFORE the leading edge.
+    # The strip's x wraps around the LE (stagnation sits on the opposite
+    # surface at nonzero alpha, e.g. x_stag ~ 0.04 on the lower side at
+    # alpha = 12), so a bare ``x >= x_forced_transition`` test fires AT
+    # THE STAGNATION POINT whenever the trip x is small enough — the
+    # march then runs turbulent from station 0, ~30% thicker everywhere,
+    # which silently broke every near-LE forced-trip run at high alpha
+    # (and through it the march-oracle convergence gate).
+    x_trip_c = jnp.where(jnp.arange(m) >= jnp.argmin(x), x,
+                         jnp.full_like(x, -1.0))
+
     def scan_step(carry, inp):
         t1, d1, a1, turb1, xtr, tripped, lam_sep1, seprun1 = carry
-        s1, ue1, x1, s2, ue2, x2 = inp
+        s1, ue1, x1, xt1, s2, ue2, x2 = inp
 
         # Transition trigger at interval start: free (amplification), trip,
         # or a laminar separation that has run 0.05c without the envelope
@@ -187,7 +198,7 @@ def march_side(
         # fakes an extra ~+0.04 of camber-lift.
         amp_hit = jnp.logical_and(jnp.logical_not(turb1), a1 >= n_crit)
         trip_hit = jnp.logical_and(jnp.logical_not(turb1),
-                                   x1 >= x_forced_transition)
+                                   xt1 >= x_forced_transition)
         sep_hit = jnp.logical_and(jnp.logical_not(turb1), seprun1 > 0.05)
         becomes_turb = jnp.logical_or(jnp.logical_or(amp_hit, trip_hit),
                                       sep_hit)
@@ -308,7 +319,7 @@ def march_side(
         return (t2, d2, a2, turb2, xtr_new, tripped2, lam_sep2,
                 seprun2), out
 
-    inputs = (s[:-1], ue[:-1], x[:-1], s[1:], ue[1:], x[1:])
+    inputs = (s[:-1], ue[:-1], x[:-1], x_trip_c[:-1], s[1:], ue[1:], x[1:])
     init = (theta0, dstar0, jnp.zeros_like(theta0),
             jnp.array(False), jnp.asarray(x[-1], s.dtype), jnp.array(False),
             jnp.array(False), jnp.zeros_like(theta0))

@@ -182,6 +182,14 @@ class _Grid(NamedTuple):
     s_q_l: jnp.ndarray
     s0: jnp.ndarray        # frozen stagnation arc position
     te_gap: jnp.ndarray
+    # Trip coordinates: chordwise x masked to -1 before the LE. The strip
+    # wraps around the LE (stagnation sits on the opposite surface at
+    # nonzero alpha), so a bare sigmoid((x - x_trip)/w) forced-trip ramp
+    # fires AT STAGNATION whenever x_stag > x_trip — these masked arrays
+    # are what every trip comparison must use (march.py applies the same
+    # mask internally).
+    xt_u: jnp.ndarray
+    xt_l: jnp.ndarray
 
 
 def _n_sat_gate(n, n_crit):
@@ -390,8 +398,8 @@ def _residual_given_ue(zz, ue_u, ue_l, ue_w, grid, nu, m_s, n_w,
     """
     zu, zl, zw = _unpack(zz, m_s, n_w)
 
-    w_u = _w_station(zu[:, 3], grid.x_u, n_crit, x_trip_u)
-    w_l = _w_station(zl[:, 3], grid.x_l, n_crit, x_trip_l)
+    w_u = _w_station(zu[:, 3], grid.xt_u, n_crit, x_trip_u)
+    w_l = _w_station(zl[:, 3], grid.xt_l, n_crit, x_trip_l)
 
     ones_w = jnp.ones_like(grid.xi_w)
     ru = _interval_residuals(grid.xi_u, ue_u, zu, nu, w_u, wake=False,
@@ -870,9 +878,14 @@ def _solve_viscous_newton_impl(
     s0 = _find_stagnation(s_mid, vt0, s_le)
     xi_u, s_q_u, _ue, x_u, y_u = _side_stations(pan, vt0, s0, True, m_s)
     xi_l, s_q_l, _ue, x_l, y_l = _side_stations(pan, vt0, s0, False, m_s)
+    def _trip_coord(x):
+        return jnp.where(jnp.arange(x.shape[0]) >= jnp.argmin(x), x,
+                         jnp.full_like(x, -1.0))
+
     grid = _Grid(xi_u=xi_u, xi_l=xi_l, xi_w=wop.xi, x_u=x_u, y_u=y_u,
                  x_l=x_l, y_l=y_l, s_q_u=s_q_u, s_q_l=s_q_l, s0=s0,
-                 te_gap=te_gap)
+                 te_gap=te_gap, xt_u=_trip_coord(x_u),
+                 xt_l=_trip_coord(x_l))
 
     zz0, _xtr_u_march, _xtr_l_march, warm_state = _warm_start(
         op, wop, grid, vt0, nu, n_crit, x_forced_transition, m_s, n_w,
@@ -1133,8 +1146,8 @@ def _solve_viscous_newton_impl(
 
     # Transition fronts from the solved n field (0.5-crossing of the
     # blend weight, interpolated) — derived output, not solver state.
-    def xtr_of(z_side, x, x_trip_side):
-        w = _w_station(z_side[:, 3], x, n_crit_t, x_trip_side)
+    def xtr_of(z_side, x, xt, x_trip_side):
+        w = _w_station(z_side[:, 3], xt, n_crit_t, x_trip_side)
         hit = w >= 0.5
         i = jnp.argmax(hit)
         i1 = jnp.clip(i, 1, x.shape[0] - 1)
@@ -1146,10 +1159,10 @@ def _solve_viscous_newton_impl(
         return jnp.where(jnp.any(hit), xc, jnp.asarray(2.0, dtype))
 
     zu_x, zl_x, _zw_x = _unpack(zz, m_s, n_w)
-    xtr_u = xtr_of(zu_x, grid.x_u, x_trip_u_t)
-    xtr_l = xtr_of(zl_x, grid.x_l, x_trip_l_t)
-    w_u = _w_station(zu_x[:, 3], grid.x_u, n_crit_t, x_trip_u_t)
-    w_l = _w_station(zl_x[:, 3], grid.x_l, n_crit_t, x_trip_l_t)
+    xtr_u = xtr_of(zu_x, grid.x_u, grid.xt_u, x_trip_u_t)
+    xtr_l = xtr_of(zl_x, grid.x_l, grid.xt_l, x_trip_l_t)
+    w_u = _w_station(zu_x[:, 3], grid.xt_u, n_crit_t, x_trip_u_t)
+    w_l = _w_station(zl_x[:, 3], grid.xt_l, n_crit_t, x_trip_l_t)
 
     # ── extract the solution ────────────────────────────────────────────
     zu, zl, zw = _unpack(zz, m_s, n_w)
@@ -1238,12 +1251,20 @@ def _solve_viscous_newton_impl(
     # is parabolic/unique, so a small-residual wrong-basin solution (e.g.
     # a near-inviscid state at high alpha whose thin BL the sanity bands
     # cannot reject) fails this even when everything else passes.
-    # The oracle march is FORCED to transition at the system's own front:
-    # the march cannot find bubble fronts itself (its separated Hk is
-    # pinned at HK_LAM_MAX, understating the shear layer's amplification),
-    # and the check's subject is the thickness evolution, not transition.
+    # The oracle march transitions EXACTLY at the system's own front: the
+    # forced trip is both floor and ceiling (free e^N amplification is
+    # disabled with an unreachable n_crit; the march's laminar-separation
+    # forcing still backstops an all-laminar field). Leaving the march's
+    # own amplification on made the forced front only a CEILING — in a
+    # steep suction peak (alpha >= 12) the march's envelope fired ~0.02c
+    # before the system's front, started the turbulent layer ~25%
+    # thicker, and the difference compounded to ratio ~1.7 by the TE:
+    # every HONEST near-stall state was vetoed (measured 2412@1e6@12:
+    # system CD 0.0135 vs truth 0.0146, ratio 1.679 > 1.6), which starved
+    # the polar walk of stall donors — no CL_max could ever appear. The
+    # check's subject is the thickness evolution, not transition.
     march_pair2 = jax.vmap(
-        lambda s, ue, x, xf: march_side(s, ue, x, nu, n_crit, xf))
+        lambda s, ue, x, xf: march_side(s, ue, x, nu, 1e9, xf))
     bl_chk = march_pair2(jnp.stack([grid.xi_u, grid.xi_l]),
                          jnp.stack([ue_u, ue_l]),
                          jnp.stack([grid.x_u, grid.x_l]),
