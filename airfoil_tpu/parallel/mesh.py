@@ -106,8 +106,20 @@ def _local_walk(op, alphas, reynolds, m1, nok1, st1):
     st1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), st1)
     state_like = jax.tree.map(lambda x: x[0], st1)
 
-    m_walk, used = _walk(op, a_seq, re_seq, active, seg_start, m1_seq,
-                         nok1_seq, st1_seq, state_like)
+    # Direction- and side-dependent donor-ceiling slack, mirroring
+    # _walk_kernel: the advancing side (upper on the ascent, lower on
+    # the descent) is pinned to its donor front; the retreating side
+    # keeps aft mobility.
+    f32_ = alphas.dtype
+
+    def _seq(up_val, dn_val):
+        return jnp.concatenate([jnp.full((p_local,), up_val, f32_),
+                                jnp.full((p_local,), dn_val, f32_)])
+
+    slack_seq = (_seq(0.0, 0.15), _seq(0.0, 0.5),
+                 _seq(0.15, 0.0), _seq(0.5, 0.0))
+    m_walk, used = _walk(op, a_seq, re_seq, active, seg_start, slack_seq,
+                         m1_seq, nok1_seq, st1_seq, state_like)
     m_up = jax.tree.map(lambda x: x[:p_local], m_walk)
     m_dn = jax.tree.map(lambda x: x[p_local:][::-1], m_walk)
     used_up = used[:p_local]

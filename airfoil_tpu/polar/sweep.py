@@ -124,8 +124,8 @@ def _shift_hist(hist, a, cl, cd):
     return (jnp.minimum(n_acc + 1, 2), a, cl, cd, a1, cl1, cd1)
 
 
-def _walk(op, a_seq, re_seq, active, seg_start, m1_seq, nok1_seq, st1_seq,
-          state_like):
+def _walk(op, a_seq, re_seq, active, seg_start, slack_seq, m1_seq,
+          nok1_seq, st1_seq, state_like):
     """The continuation walk: one scan over [ascending; descending] alphas.
 
     Each step either adopts the audited per-point result (cheap path) or
@@ -147,7 +147,7 @@ def _walk(op, a_seq, re_seq, active, seg_start, m1_seq, nok1_seq, st1_seq,
 
     def step(carry, inp):
         prev_act, hist, st, failcnt = carry
-        a, re_, act, seg0, m1, nok1, st1 = inp
+        a, re_, act, seg0, sl_au, sl_mu, sl_al, sl_ml, m1, nok1, st1 = inp
         reset = jnp.logical_or(
             jnp.logical_and(act, jnp.logical_not(prev_act)), seg0)
         hist = jax.tree.map(
@@ -172,7 +172,9 @@ def _walk(op, a_seq, re_seq, active, seg_start, m1_seq, nok1_seq, st1_seq,
 
         def cont(stc):
             mc, (nokc, st_new) = solve_polar_point_cont(
-                op, a, re_, *stc, n_stations=_N_STATIONS)
+                op, a, re_, *stc, n_stations=_N_STATIONS,
+                cont_slack_add=sl_au, cont_slack_mul=sl_mu,
+                cont_slack_add_l=sl_al, cont_slack_mul_l=sl_ml)
             return mc, nokc, st_new
 
         def skip(stc):
@@ -192,10 +194,14 @@ def _walk(op, a_seq, re_seq, active, seg_start, m1_seq, nok1_seq, st1_seq,
 
             def bisect(stc):
                 mh, (nokh, st_h) = solve_polar_point_cont(
-                    op, a_half, re_, *stc, n_stations=_N_STATIONS)
+                    op, a_half, re_, *stc, n_stations=_N_STATIONS,
+                    cont_slack_add=sl_au, cont_slack_mul=sl_mu,
+                    cont_slack_add_l=sl_al, cont_slack_mul_l=sl_ml)
                 st_mid = _tree_where(nokh, st_h, stc)
                 mb, (nokb, st_b) = solve_polar_point_cont(
-                    op, a, re_, *st_mid, n_stations=_N_STATIONS)
+                    op, a, re_, *st_mid, n_stations=_N_STATIONS,
+                    cont_slack_add=sl_au, cont_slack_mul=sl_mu,
+                    cont_slack_add_l=sl_al, cont_slack_mul_l=sl_ml)
                 return mb, jnp.logical_and(nokh, nokb), st_b
 
             run_bisect = jnp.logical_and(
@@ -230,7 +236,8 @@ def _walk(op, a_seq, re_seq, active, seg_start, m1_seq, nok1_seq, st1_seq,
             jnp.zeros((), jnp.int32))
     _, (m_walk, used) = jax.lax.scan(
         step, init,
-        (a_seq, re_seq, active, seg_start, m1_seq, nok1_seq, st1_seq))
+        (a_seq, re_seq, active, seg_start) + tuple(slack_seq)
+        + (m1_seq, nok1_seq, st1_seq))
     return m_walk, used
 
 
@@ -293,12 +300,30 @@ def _walk_kernel(op, alphas, reynolds, m1, nok1, st1):
     re_seq = jnp.concatenate([re_s, re_s[::-1]])
     active = jnp.concatenate([pos >= pos0, jnp.ones_like(pos, bool)])
     seg_start = jnp.zeros((2 * p_total,), bool).at[p_total].set(True)
+    # Direction- and side-dependent donor-ceiling slack (see the
+    # donor-ceiling comment in newton._solve_viscous_newton_impl). Front
+    # motion is monotone per side: rising alpha moves the UPPER front
+    # forward and the LOWER front aft, so the ASCENT pins each
+    # continuation target's upper front to its donor's (+0.005 of
+    # numerical wiggle — any real aft slack lets the relieved
+    # late-transition basin park at the ceiling and ratchet up the stall
+    # tail) while leaving the lower side aft-mobile; the DESCENT is the
+    # mirror image.
+    f32_ = a_s.dtype
+
+    def _seq(up_val, dn_val):
+        return jnp.concatenate([jnp.full((p_total,), up_val, f32_),
+                                jnp.full((p_total,), dn_val, f32_)])
+
+    slack_seq = (_seq(0.0, 0.15), _seq(0.0, 0.5),       # upper add, mul
+                 _seq(0.15, 0.0), _seq(0.5, 0.0))       # lower add, mul
     m1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), m1_s)
     nok1_seq = jnp.concatenate([nok1_s, nok1_s[::-1]])
     st1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), st1_s)
     state_like = jax.tree.map(lambda x: x[0], st1)
 
-    m_walk, used = _walk(op, a_seq, re_seq, active, seg_start, m1_seq,
+    m_walk, used = _walk(op, a_seq, re_seq, active, seg_start,
+                         slack_seq, m1_seq,
                          nok1_seq, st1_seq, state_like)
 
     m_up = jax.tree.map(lambda x: x[:p_total], m_walk)

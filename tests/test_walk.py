@@ -72,7 +72,9 @@ def _run_walk(monkeypatch, p, nok_mask, cont_behaviour, cl=None):
 
     ``cont_behaviour(a, state) -> (cl, cd, nok)`` as jnp scalars.
     """
-    def fake_cont(op, a, re_, zz, xu, xl, n_stations=None):
+    def fake_cont(op, a, re_, zz, xu, xl, n_stations=None,
+                  cont_slack_add=None, cont_slack_mul=None,
+                  cont_slack_add_l=None, cont_slack_mul_l=None):
         clc, cdc, nokc = cont_behaviour(a, zz)
         merged = (clc, cdc, jnp.zeros(()), jnp.zeros(()), nokc,
                   jnp.zeros(()), jnp.zeros(()), jnp.zeros(()))
@@ -82,9 +84,13 @@ def _run_walk(monkeypatch, p, nok_mask, cont_behaviour, cl=None):
     alphas, re, m1, nok1, st1 = _fake_inputs(p, nok_mask, cl)
     active = jnp.ones((p,), bool)
     seg_start = jnp.zeros((p,), bool)
+    slack_seq = (jnp.full((p,), 0.005, jnp.float32),
+                 jnp.zeros((p,), jnp.float32),
+                 jnp.full((p,), 0.15, jnp.float32),
+                 jnp.full((p,), 0.5, jnp.float32))
     state_like = jax.tree.map(lambda x: x[0], st1)
-    m_walk, used = S._walk(None, alphas, re, active, seg_start, m1, nok1,
-                           st1, state_like)
+    m_walk, used = S._walk(None, alphas, re, active, seg_start, slack_seq,
+                           m1, nok1, st1, state_like)
     return (np.asarray(m_walk[0]), np.asarray(m_walk[1]),
             np.asarray(used))
 
