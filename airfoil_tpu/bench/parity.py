@@ -158,6 +158,11 @@ def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="parity_report.json")
     args = ap.parse_args()
+    # Share the server/bench persistent compile cache — a bare CLI run
+    # otherwise pays every polar-pipeline cold compile (~10 min on a
+    # remote-compile TPU tunnel) before the first number appears.
+    from airfoil_tpu.api.handlers import _enable_persistent_compile_cache
+    _enable_persistent_compile_cache()
     report = run_parity()
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
