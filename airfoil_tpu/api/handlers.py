@@ -24,6 +24,7 @@ from airfoil_tpu.geometry import (
     is_multi_element,
     parse_dat_text,
 )
+from airfoil_tpu.utils.compile_cache import enable_persistent_compile_cache
 from airfoil_tpu.utils.stats import increment_analysis_count
 
 logger = logging.getLogger(__name__)
@@ -41,28 +42,9 @@ class ApiError(Exception):
         self.detail = detail
 
 
-def _enable_persistent_compile_cache():
-    """Cache compiled solver kernels on disk across server restarts.
-
-    The big polar/Newton kernels take minutes to compile on a cold TPU
-    tunnel; with the cache a restarted server re-serves hard requests
-    immediately. Best-effort (ignored on failure); override the location
-    with AIRFOIL_TPU_JAX_CACHE.
-    """
-    import os
-
-    try:
-        import jax
-
-        cache_dir = os.environ.get(
-            "AIRFOIL_TPU_JAX_CACHE",
-            os.path.expanduser("~/.cache/airfoil_tpu_jax"))
-        os.makedirs(cache_dir, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                          5.0)
-    except Exception as e:           # pragma: no cover
-        logger.warning("persistent compile cache unavailable: %s", e)
+# Back-compat alias; the shared helper lives in utils (used by bench.py
+# and the parity harness too).
+_enable_persistent_compile_cache = enable_persistent_compile_cache
 
 
 def start_warmup():

@@ -137,12 +137,31 @@ def run_parity(use_live_xfoil: bool = True) -> dict:
                if p["cl_dev_pct"] is not None and p["converged"]]
     cd_devs = [abs(p["cd_dev_pct"]) for p in points
                if p["cd_dev_pct"] is not None and p["converged"]]
+    # All-anchor CD metric: an unconverged anchor (served as an inviscid
+    # fill with CD = 0) counts as 100% error — the converged-only median
+    # above would otherwise silently drop exactly the hardest anchors.
+    cd_devs_all = [abs(p["cd_dev_pct"]) if p["converged"] else 100.0
+                   for p in points if p["cd_dev_pct"] is not None]
+    # Envelope coverage: max converged alpha per (airfoil, Re) group —
+    # the reference serves the full -10..+20 envelope (main.py:39-45), so
+    # "how far up the polar does viscous convergence reach" is a
+    # first-class capability metric, not a footnote.
+    env = {}
+    for p in points:
+        key = f"{p['airfoil']}@{p['reynolds']:.0e}"
+        if p["converged"]:
+            env[key] = max(env.get(key, -99.0), p["alpha"])
+        else:
+            env.setdefault(key, -99.0)
     return {
         "points": points,
         "median_abs_cl_dev_pct": round(float(np.median(cl_devs)), 1)
         if cl_devs else None,
         "median_abs_cd_dev_pct": round(float(np.median(cd_devs)), 1)
         if cd_devs else None,
+        "median_abs_cd_dev_all_anchors_pct": round(
+            float(np.median(cd_devs_all)), 1) if cd_devs_all else None,
+        "max_converged_alpha": env,
         "converged_fraction": round(
             np.mean([p["converged"] for p in points]), 2),
         "within_unc_fraction": round(
@@ -161,8 +180,8 @@ def main():
     # Share the server/bench persistent compile cache — a bare CLI run
     # otherwise pays every polar-pipeline cold compile (~10 min on a
     # remote-compile TPU tunnel) before the first number appears.
-    from airfoil_tpu.api.handlers import _enable_persistent_compile_cache
-    _enable_persistent_compile_cache()
+    from airfoil_tpu.utils.compile_cache import enable_persistent_compile_cache
+    enable_persistent_compile_cache()
     report = run_parity()
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)

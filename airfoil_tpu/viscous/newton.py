@@ -114,6 +114,21 @@ _FUTILITY = 0.92
 # before the first trace.
 _CD_HI_COEF = 0.25
 _CD_HI_SEP = 0.30
+# ── round-4 mechanism gates (trace-time; module-level for A/B probes) ──
+# Each flag isolates one round-4 physics mechanism so the parity harness
+# can bisect regressions mechanism-by-mechanism. False = the round-3
+# semantics for that mechanism.
+_ORACLE_RESEED = True    # in-loop drift probe + march reseed in fp_round
+_SETTLED_EXIT = True     # round loop polishes to _RMS_SETTLED (False: _RMS_OK)
+_PER_SIDE_RATIO = True   # pinned per-side theta-ratio gates (False: summed
+#                          ratio over free-amplification march lanes)
+_FRONT_GATE = True       # free-march front-consistency veto
+_SEED_FREE_FRONT = True  # continuation seeds carry min(system front,
+#                          free-march front) (False: system front)
+_SEP_DIAG_29 = True      # diagnostic separation onset Hk > 2.9 + cap 0.50
+#                          (False: march Hk caps + cap 0.40)
+_DONOR_CEIL = True       # continuation donor-front trip ceiling
+_CONT_ROUNDS = 5         # continuation LM restart-round cap (round-3: 3)
 
 
 def _avg(f1, f2):
@@ -838,7 +853,7 @@ def solve_polar_point_cont(
     n_wake: int = 20,
     warm_iters: int = 1,
     newton_iters: int = 14,
-    outer_rounds: int = 5,
+    outer_rounds: int | None = None,
     cont_slack_add=0.05,
     cont_slack_mul=0.5,
     cont_slack_add_l=None,
@@ -855,6 +870,8 @@ def solve_polar_point_cont(
     in ``_solve_viscous_newton_impl``); the ``_l`` pair overrides the
     lower side (defaults to the upper's). Traced, so the walk can pass
     direction-dependent slacks without recompiling."""
+    if outer_rounds is None:
+        outer_rounds = _CONT_ROUNDS
     if cont_slack_add_l is None:
         cont_slack_add_l = cont_slack_add
     if cont_slack_mul_l is None:
@@ -1013,7 +1030,7 @@ def _solve_viscous_newton_impl(
     # aft creep per walk step let accepted states ride the ceiling
     # 0.063 -> 0.163 over alpha 9.5 -> 13.5, a smoothly-relieved chain
     # tracking the inviscid slope.
-    if init_state is not None:
+    if init_state is not None and _DONOR_CEIL:
         su, sl = ((0.05, 0.5), (0.05, 0.5)) if cont_slack is None \
             else cont_slack
         x_trip_u_t = jnp.minimum(x_trip_u_t,
@@ -1246,15 +1263,21 @@ def _solve_viscous_newton_impl(
     def fp_round(carry):
         zz, lam, k, best_zz, best_rms, rms_prev, done = carry
         zz = _reproject_n(zz)
-        bl2, ues, drifts = _oracle_probe(zz)
-        reseeded = jnp.logical_or(drifts[0], drifts[1])
-        zz = _oracle_reseed(zz, bl2, ues, drifts)
-        lam = jnp.where(reseeded, jnp.maximum(lam, 1e-3), lam)
+        if _ORACLE_RESEED:
+            bl2, ues, drifts = _oracle_probe(zz)
+            reseeded = jnp.logical_or(drifts[0], drifts[1])
+            zz = _oracle_reseed(zz, bl2, ues, drifts)
+            lam = jnp.where(reseeded, jnp.maximum(lam, 1e-3), lam)
+        else:
+            reseeded = jnp.array(False)
         zz, lam = run_lm(res_fn, jac_fn, zz, jnp.maximum(lam, 1e-4),
                          newton_iters)
         rms_r = _rms(res_fn(zz))
-        _bl3, _ues3, drifts3 = _oracle_probe(zz)
-        drifted3 = jnp.logical_or(drifts3[0], drifts3[1])
+        if _ORACLE_RESEED:
+            _bl3, _ues3, drifts3 = _oracle_probe(zz)
+            drifted3 = jnp.logical_or(drifts3[0], drifts3[1])
+        else:
+            drifted3 = jnp.array(False)
         ok_r = jnp.logical_and(
             jnp.logical_and(rms_r < best_rms, jnp.all(jnp.isfinite(zz))),
             jnp.logical_not(drifted3))
@@ -1264,8 +1287,9 @@ def _solve_viscous_newton_impl(
         # state to the thick branch) — futility must not read that as a
         # stall; and a thin-drifted state may not exit via the settled
         # gate (the next round's reseed is the whole point).
+        rms_exit = _RMS_SETTLED if _SETTLED_EXIT else _RMS_OK
         done = jnp.logical_or(
-            jnp.logical_and(rms_r < _RMS_SETTLED,
+            jnp.logical_and(rms_r < rms_exit,
                             jnp.logical_not(drifted3)),
             jnp.logical_and(rms_r > _FUTILITY * rms_prev,
                             jnp.logical_not(reseeded)))
@@ -1337,7 +1361,8 @@ def _solve_viscous_newton_impl(
         # made sep_fraction read ~0.01 on honestly-separating near-stall
         # states (TE Hk 3-3.5), which starved every sep-scaled gate
         # (cd_hi ceiling, deficit band) and vetoed the stall shoulder.
-        sep = hk > jnp.where(turb, 2.9, cl.HK_LAM_MAX)
+        sep = hk > jnp.where(turb, 2.9 if _SEP_DIAG_29 else cl.HK_TURB_MAX,
+                             cl.HK_LAM_MAX)
         side = SideBL(x=x, y=y, s=xi, ue=ue, theta=theta, dstar=dstar,
                       hk=hk, cf=cf, turb=turb,
                       x_transition=jnp.clip(jnp.minimum(xtr, x[-1]),
@@ -1419,11 +1444,14 @@ def _solve_viscous_newton_impl(
     march_pair2 = jax.vmap(
         lambda s, ue, x, nc, xf: march_side(s, ue, x, nu, nc, xf))
     big = jnp.asarray(1e9, dtype)
+    # _PER_SIDE_RATIO False restores the round-3 theta lanes: free
+    # amplification ON (the march may fire before the forced front).
+    nc_theta = big if _PER_SIDE_RATIO else n_crit_t
     bl_chk = march_pair2(
         jnp.stack([grid.xi_u, grid.xi_l, grid.xi_u, grid.xi_l]),
         jnp.stack([ue_u, ue_l, ue_u, ue_l]),
         jnp.stack([grid.x_u, grid.x_l, grid.x_u, grid.x_l]),
-        jnp.stack([big, big, n_crit_t, n_crit_t]),
+        jnp.stack([nc_theta, nc_theta, n_crit_t, n_crit_t]),
         jnp.stack([jnp.minimum(xtr_u, x_trip_t),
                    jnp.minimum(xtr_l, x_trip_lo_t),
                    x_trip_t, x_trip_lo_t]))
@@ -1458,15 +1486,20 @@ def _solve_viscous_newton_impl(
             r < 1.40, jnp.logical_or(r > 0.6, sep_fraction > 0.02))
         return jnp.logical_or(jnp.logical_not(valid), ok)
 
-    march_consistent = jnp.logical_and(
-        _side_ratio_ok(bl_chk.theta[0, -1], jnp.exp(zu[-1, 0]),
-                       bl_chk.x_transition[0],
-                       jnp.minimum(xtr_u, x_trip_t)),
-        _side_ratio_ok(bl_chk.theta[1, -1], jnp.exp(zl[-1, 0]),
-                       bl_chk.x_transition[1],
-                       jnp.minimum(xtr_l, x_trip_lo_t)))
     ratio = (bl_chk.theta[0, -1] + bl_chk.theta[1, -1]) / jnp.maximum(
         jnp.exp(zu[-1, 0]) + jnp.exp(zl[-1, 0]), 1e-10)
+    if _PER_SIDE_RATIO:
+        march_consistent = jnp.logical_and(
+            _side_ratio_ok(bl_chk.theta[0, -1], jnp.exp(zu[-1, 0]),
+                           bl_chk.x_transition[0],
+                           jnp.minimum(xtr_u, x_trip_t)),
+            _side_ratio_ok(bl_chk.theta[1, -1], jnp.exp(zl[-1, 0]),
+                           bl_chk.x_transition[1],
+                           jnp.minimum(xtr_l, x_trip_lo_t)))
+    else:
+        march_consistent = jnp.logical_and(
+            ratio < 1.6,
+            jnp.logical_or(ratio > 0.6, sep_fraction > 0.02))
 
     # Front gate: the system's transition front must not sit far AFT of
     # the free march's own front over the same (converged) field. This is
@@ -1491,14 +1524,17 @@ def _solve_viscous_newton_impl(
     front_consistent = jnp.logical_and(
         _front_gate(xtr_u, bl_chk.x_transition[2]),
         _front_gate(xtr_l, bl_chk.x_transition[3]))
-    march_consistent = jnp.logical_and(march_consistent, front_consistent)
+    if _FRONT_GATE:
+        march_consistent = jnp.logical_and(march_consistent,
+                                           front_consistent)
 
     # Separation cap 0.50 (with the Hk > 2.9 diagnostic onset above —
     # the cap was 0.40 when separation counted only from the march's 4.0
     # stepping cap): CL_max states legitimately carry ~1/3-1/2 of their
     # stations past detachment; beyond half the closure set is out of
     # its envelope and the result is untrustworthy regardless.
-    converged = (finite & (rms < _RMS_OK) & (sep_fraction < 0.50)
+    sep_cap = 0.50 if _SEP_DIAG_29 else 0.40
+    converged = (finite & (rms < _RMS_OK) & (sep_fraction < sep_cap)
                  & cl_sane & cd_sane & march_consistent)
 
     import os as _os
@@ -1533,6 +1569,9 @@ def _solve_viscous_newton_impl(
     # amplification each step. min() keeps free-march noise (it can fire
     # spuriously late over a separated recovery) from LOOSENING the
     # ceiling.
-    xtr_u_seed = jnp.minimum(xtr_u, bl_chk.x_transition[2])
-    xtr_l_seed = jnp.minimum(xtr_l, bl_chk.x_transition[3])
+    if _SEED_FREE_FRONT:
+        xtr_u_seed = jnp.minimum(xtr_u, bl_chk.x_transition[2])
+        xtr_l_seed = jnp.minimum(xtr_l, bl_chk.x_transition[3])
+    else:
+        xtr_u_seed, xtr_l_seed = xtr_u, xtr_l
     return res, fb, (zz, xtr_u_seed, xtr_l_seed)

@@ -26,9 +26,9 @@ import numpy as np
 
 # Persistent compiled-kernel cache: repeat bench runs (and the server,
 # which shares the cache) skip the cold compiles.
-from airfoil_tpu.api.handlers import _enable_persistent_compile_cache
+from airfoil_tpu.utils.compile_cache import enable_persistent_compile_cache
 
-_enable_persistent_compile_cache()
+enable_persistent_compile_cache()
 
 BASELINE_POINTS_PER_SEC = 1.0 / 30.0
 BASELINE_LBM_MLUPS = 12.3
