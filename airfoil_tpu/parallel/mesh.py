@@ -118,8 +118,17 @@ def _local_walk(op, alphas, reynolds, m1, nok1, st1):
 
     slack_seq = (_seq(0.0, 0.15), _seq(0.0, 0.5),
                  _seq(0.15, 0.0), _seq(0.5, 0.0))
-    m_walk, used = _walk(op, a_seq, re_seq, active, seg_start, slack_seq,
-                         m1_seq, nok1_seq, st1_seq, state_like)
+
+    # Inviscid fill computed BEFORE the walk: the monotone-deficit audit
+    # needs each point's inviscid CL (mirrors _walk_kernel).
+    def inv_point(a):
+        r = solve_inviscid(op, a)
+        return r.cl, r.cm
+    cl3, cm3 = jax.vmap(inv_point)(alphas)
+    cli_seq = jnp.concatenate([cl3, cl3[::-1]])
+
+    m_walk, used = _walk(op, a_seq, re_seq, active, seg_start, cli_seq,
+                         slack_seq, m1_seq, nok1_seq, st1_seq, state_like)
     m_up = jax.tree.map(lambda x: x[:p_local], m_walk)
     m_dn = jax.tree.map(lambda x: x[p_local:][::-1], m_walk)
     used_up = used[:p_local]
@@ -131,11 +140,6 @@ def _local_walk(op, alphas, reynolds, m1, nok1, st1):
 
     v1 = jax.tree.map(sel, m_up, m_dn)
     use1 = jnp.logical_and(v1[4], jnp.logical_or(used_up, used_dn))
-
-    def inv_point(a):
-        r = solve_inviscid(op, a)
-        return r.cl, r.cm
-    cl3, cm3 = jax.vmap(inv_point)(alphas)
     return v1, use1, cl3, cm3
 
 

