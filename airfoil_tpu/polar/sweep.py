@@ -95,48 +95,70 @@ def _deficit(cl_inv, cl):
     return jnp.where(cl_inv >= 0, cl_inv - cl, cl - cl_inv)
 
 
-def _deficit_ok(a, d, hist):
+def _deficit_ok(d, cli, hist):
     """Deficit-growth audit: the absolute lift deficit (cl_inv - cl)
-    must GROW at >= ~0.01 CL/deg as |alpha| climbs along the walk.
+    must GROW at >= ~0.08 CL per unit of inviscid LOADING |cl_inv| as
+    the walk climbs toward stall.
 
     Measured over the full anchor set (three airfoils, two Reynolds
-    numbers): the honest deficit grows at 0.010-0.015 CL/deg attached
-    (0.038/0.076/0.105 on 0012@1e6 at 4/8/10 deg) and 0.03-0.13 CL/deg
-    through the stall shoulder (0.264 -> 0.843 on 2412@1e6 over
-    12 -> 19 deg), while wrong-basin families ride the inviscid slope at
-    <= ~0.002 CL/deg — the round-4 2412@17 wrong acceptance carried
-    deficit 0.25 after a 5.5-deg re-anchor gap from an honest 0.24
-    (growth +0.002/deg; the honest state carries 0.57). A pure
-    "non-shrinking" audit cannot separate those; the rate floor (0.01
-    CL/deg, minus a 0.01 CL absolute slack for half-degree numerical
-    wiggle) rejects the slow-relief family over any gap >= ~2 deg while
-    passing every honest anchor pair (smallest honest margin: 0012@1e6
-    0->4 deg, growth 0.038 vs required 0.030). Unlike a fixed deficit
-    floor this self-calibrates per airfoil and Reynolds number: it only
-    compares against the walk's own last accepted point. One-sided (only
-    when |alpha| is increasing; the trend audit owns the other
-    direction).
+    numbers): the honest deficit grows at ~0.08-0.12 CL per unit |cli|
+    attached (0.038/0.076/0.105 on 0012@1e6 at 4/8/10 deg) and
+    0.3-0.9 /unit through the stall shoulder (0.264 -> 0.843 on
+    2412@1e6 over 12 -> 19 deg), while wrong-basin families ride the
+    inviscid slope at near-zero growth — the round-4 2412@17 wrong
+    acceptance carried deficit 0.25 after a 5.5-deg re-anchor gap from
+    an honest 0.24 anchor (the honest state carries 0.57).
+
+    Two calibration lessons are baked in, both measured through the
+    product path on TPU (2412@1e6, 1-deg-step -10..20 polar):
+
+    * The abscissa is inviscid LOADING, not |alpha|. On a cambered
+      airfoil the signed deficit is discontinuous and non-monotone
+      around the zero-lift angle (viscous decambering SHIFTS alpha_0L,
+      so near it the viscous |CL| can exceed inviscid), and an
+      |alpha|-based floor rejected the whole honest negative branch of
+      the 2412 polar (served as smoothed/inviscid fills). |cli| shrinks
+      toward zero-lift and grows past it, so loading-based growth is
+      one-sided correctly on BOTH branches of the descent.
+    * The audit only ENGAGES once the baseline deficit d1 >= 0.05 CL.
+      Below that (attached flow near zero lift) the deficit is
+      station-quantisation noise of +-0.01-0.02 CL: a zero-slack floor
+      at 1-deg steps rejected honest alpha = 2..6, and the resulting
+      failcnt cascade re-anchored onto a wrong over-shed basin at
+      alpha = 7 (CL 0.684 vs honest ~1.0). The relieved family this
+      audit exists to catch lives at the stall shoulder where d1 is
+      always >= ~0.1.
+
+    The 0.025 CL absolute slack passes per-step numerical wiggle at
+    0.5-1 deg walk resolution; over a re-anchor gap >= ~4 deg the rate
+    floor dominates and the slow-relief family is rejected (r4 case:
+    d 0.25 vs required 0.24 + 0.08*0.65 - 0.025 = 0.267). Unlike a
+    fixed deficit floor this self-calibrates per airfoil and Reynolds
+    number: it only compares against the walk's own last accepted
+    point.
     """
-    n_acc, a1, _cl1, _cd1, _a2, _cl2, _cd2, d1 = hist
-    da = jnp.abs(a) - jnp.abs(a1)
-    need = 0.01 * da - 0.01
+    n_acc, _a1, _cl1, _cd1, _a2, _cl2, _cd2, cli1, d1 = hist
+    dcli = jnp.abs(cli) - jnp.abs(cli1)
+    need = 0.08 * dcli - 0.025
+    disengaged = jnp.logical_or(d1 < 0.05, dcli <= 1e-6)
     return jnp.logical_or(
         n_acc < 1,
-        jnp.logical_or(da <= 1e-6, d >= d1 + need))
+        jnp.logical_or(disengaged, d >= d1 + need))
 
 
 def _trend_ok(a, cl, cd, hist):
     """Is (cl, cd) at alpha ``a`` consistent with the walk's history?
 
-    ``hist`` = (n_acc, a1, cl1, cd1, a2, cl2, cd2, d1): the last two
-    accepted points (1 = most recent) plus the last accepted lift
-    deficit. With two, CL/CD are linearly extrapolated; with one,
+    ``hist`` = (n_acc, a1, cl1, cd1, a2, cl2, cd2, cli1, d1): the last
+    two accepted points (1 = most recent) plus the last accepted
+    inviscid CL and lift deficit (the deficit audit's baseline). With
+    two, CL/CD are linearly extrapolated; with one,
     predicted flat with a band widened by the full lift-slope
     uncertainty. Bands are generous: they must pass genuine polar
     curvature (stall rollover) while catching wrong-basin jumps, which in
     practice are >= 15% in CL or >= 40% in CD.
     """
-    n_acc, a1, cl1, cd1, a2, cl2, cd2, _d1 = hist
+    n_acc, a1, cl1, cd1, a2, cl2, cd2, _cli1, _d1 = hist
     da = a - a1
     dd = jnp.where(jnp.abs(a1 - a2) < 1e-6, 1.0, a1 - a2)
     slope_cl = (cl1 - cl2) / dd
@@ -165,9 +187,9 @@ def _trend_ok(a, cl, cd, hist):
     return jnp.logical_or(n_acc < 1, jnp.logical_and(cl_ok, cd_ok))
 
 
-def _shift_hist(hist, a, cl, cd, d):
-    n_acc, a1, cl1, cd1, _a2, _cl2, _cd2, _d1 = hist
-    return (jnp.minimum(n_acc + 1, 2), a, cl, cd, a1, cl1, cd1, d)
+def _shift_hist(hist, a, cl, cd, cli, d):
+    n_acc, a1, cl1, cd1, _a2, _cl2, _cd2, _cli1, _d1 = hist
+    return (jnp.minimum(n_acc + 1, 2), a, cl, cd, a1, cl1, cd1, cli, d)
 
 
 def _walk(op, a_seq, re_seq, active, seg_start, cli_seq, slack_seq,
@@ -194,7 +216,7 @@ def _walk(op, a_seq, re_seq, active, seg_start, cli_seq, slack_seq,
     """
     f32 = a_seq.dtype
     zero_hist = (jnp.zeros((), jnp.int32),) + tuple(
-        jnp.zeros((), f32) for _ in range(7))
+        jnp.zeros((), f32) for _ in range(8))
     zeros8 = tuple(jnp.zeros((), f32) for _ in range(4)) + (
         jnp.array(False),) + tuple(jnp.zeros((), f32) for _ in range(3))
 
@@ -211,7 +233,7 @@ def _walk(op, a_seq, re_seq, active, seg_start, cli_seq, slack_seq,
         d1p = _deficit(cli, m1[0])
         adopt_trend = jnp.logical_and(
             nok1, jnp.logical_and(_trend_ok(a, m1[0], m1[1], hist),
-                                  _deficit_ok(a, d1p, hist)))
+                                  _deficit_ok(d1p, cli, hist)))
         # Re-anchor: after two consecutive walk failures the carry/history
         # is evidently stale (a continuation chain that drifted onto the
         # stall-hysteresis thick branch, or a knife-edge region) — an
@@ -221,7 +243,7 @@ def _walk(op, a_seq, re_seq, active, seg_start, cli_seq, slack_seq,
         # that self-reports converged has a SHRUNK deficit vs the last
         # accepted point and may not become the new anchor.
         re_anchor = jnp.logical_and(
-            jnp.logical_and(nok1, _deficit_ok(a, d1p, hist)),
+            jnp.logical_and(nok1, _deficit_ok(d1p, cli, hist)),
             jnp.logical_and(failcnt >= 2, jnp.logical_not(adopt_trend)))
         adopt1 = jnp.logical_or(adopt_trend, re_anchor)
         # Continuation is possible once the walk holds an accepted state.
@@ -244,7 +266,7 @@ def _walk(op, a_seq, re_seq, active, seg_start, cli_seq, slack_seq,
         def _accept_cont(m):
             return jnp.logical_and(
                 _trend_ok(a, m[0], m[1], hist),
-                _deficit_ok(a, _deficit(cli, m[0]), hist))
+                _deficit_ok(_deficit(cli, m[0]), cli, hist))
 
         usec = jnp.logical_and(run_cont,
                                jnp.logical_and(nokc, _accept_cont(mc)))
@@ -289,7 +311,7 @@ def _walk(op, a_seq, re_seq, active, seg_start, cli_seq, slack_seq,
             lambda z, h: jnp.where(re_anchor, z, h), zero_hist, hist)
         hist_out = jax.tree.map(
             lambda h, hn: jnp.where(used, hn, h),
-            hist, _shift_hist(hist, a, m_out[0], m_out[1],
+            hist, _shift_hist(hist, a, m_out[0], m_out[1], cli,
                               _deficit(cli, m_out[0])))
         failcnt_out = jnp.where(jnp.logical_not(act), failcnt,
                                 jnp.where(used, 0, failcnt + 1))

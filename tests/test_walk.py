@@ -14,11 +14,13 @@ import pytest
 import airfoil_tpu.polar.sweep as S
 
 
-def _hist(n, a1=0.0, cl1=0.0, cd1=0.0, a2=0.0, cl2=0.0, cd2=0.0, d1=0.0):
+def _hist(n, a1=0.0, cl1=0.0, cd1=0.0, a2=0.0, cl2=0.0, cd2=0.0,
+          cli1=0.0, d1=0.0):
     return (jnp.asarray(n, jnp.int32), jnp.asarray(a1, jnp.float32),
             jnp.asarray(cl1, jnp.float32), jnp.asarray(cd1, jnp.float32),
             jnp.asarray(a2, jnp.float32), jnp.asarray(cl2, jnp.float32),
-            jnp.asarray(cd2, jnp.float32), jnp.asarray(d1, jnp.float32))
+            jnp.asarray(cd2, jnp.float32), jnp.asarray(cli1, jnp.float32),
+            jnp.asarray(d1, jnp.float32))
 
 
 class TestTrendOk:
@@ -51,46 +53,61 @@ class TestTrendOk:
 
 class TestDeficitOk:
     def test_empty_history_accepts(self):
-        assert bool(S._deficit_ok(5.0, 0.0, _hist(0)))
+        assert bool(S._deficit_ok(0.0, 0.5, _hist(0)))
 
     def test_growing_deficit_accepted(self):
-        h = _hist(2, a1=8.0, d1=0.10)
-        assert bool(S._deficit_ok(9.0, 0.13, h))
+        # Shoulder step: loading 1.20 -> 1.32, deficit 0.10 -> 0.13.
+        h = _hist(2, a1=8.0, cli1=1.20, d1=0.10)
+        assert bool(S._deficit_ok(0.13, 1.32, h))
 
-    def test_shrunk_deficit_rejected_when_alpha_grows(self):
+    def test_shrunk_deficit_rejected_when_loading_grows(self):
         # The relieved wrong basin rides the inviscid slope: its deficit
-        # SHRINKS as alpha climbs. 0.10 -> 0.04 must fail.
-        h = _hist(2, a1=8.0, d1=0.10)
-        assert not bool(S._deficit_ok(9.0, 0.04, h))
+        # SHRINKS as the loading climbs. 0.10 -> 0.04 must fail.
+        h = _hist(2, a1=8.0, cli1=1.20, d1=0.10)
+        assert not bool(S._deficit_ok(0.04, 1.32, h))
 
-    def test_one_sided_only_when_alpha_magnitude_grows(self):
-        # Walking DOWN in |alpha| the deficit legitimately shrinks.
-        h = _hist(2, a1=9.0, d1=0.10)
-        assert bool(S._deficit_ok(8.0, 0.04, h))
+    def test_one_sided_only_when_loading_grows(self):
+        # Walking DOWN in loading (descent toward zero lift) the deficit
+        # legitimately shrinks.
+        h = _hist(2, a1=9.0, cli1=1.32, d1=0.10)
+        assert bool(S._deficit_ok(0.04, 1.20, h))
 
     def test_slow_relief_rejected_over_reanchor_gap(self):
         # The round-4 failure: after a 5.5-deg gap of failed points, a
         # wrong-basin per-point state at 17 deg carried deficit 0.25 vs
-        # the honest 11.5-deg anchor's 0.24 — growth +0.002/deg, 10x
-        # below the honest shoulder rate. The rate floor must reject it
-        # while passing the honest state (deficit 0.57).
-        h = _hist(2, a1=11.5, d1=0.24)
-        assert not bool(S._deficit_ok(17.0, 0.25, h))
-        assert bool(S._deficit_ok(17.0, 0.57, h))
+        # the honest 11.5-deg anchor's 0.24 (loading 1.65 -> 2.30) —
+        # growth 10x below the honest shoulder rate. The rate floor must
+        # reject it while passing the honest state (deficit 0.57).
+        h = _hist(2, a1=11.5, cli1=1.65, d1=0.24)
+        assert not bool(S._deficit_ok(0.25, 2.30, h))
+        assert bool(S._deficit_ok(0.57, 2.30, h))
 
-    def test_attached_honest_growth_passes(self):
-        # Smallest honest margin in the anchor set: 0012@1e6 0 -> 4 deg,
-        # deficit 0.000 -> 0.038 (growth ~0.0095/deg vs floor 0.01/deg,
-        # saved by the 0.01 absolute slack).
-        h = _hist(2, a1=0.0, d1=0.0)
-        assert bool(S._deficit_ok(4.0, 0.038, h))
+    def test_disengaged_below_baseline_threshold(self):
+        # Attached flow near zero lift: deficits are station-quantisation
+        # noise (+-0.01-0.02 CL). With baseline d1 < 0.05 the audit has
+        # no calibration and must pass ANY wiggle — an engaged zero-slack
+        # floor here rejected honest alpha=2..6 on the 1-deg 2412 polar
+        # and cascaded into a wrong re-anchor at alpha=7.
+        h = _hist(2, a1=1.0, cli1=0.42, d1=0.04)
+        assert bool(S._deficit_ok(0.01, 0.54, h))
+        # Mirror case on the cambered negative branch, where viscous
+        # decambering makes the signed deficit cross zero.
+        h = _hist(2, a1=-2.0, cli1=0.05, d1=0.04)
+        assert bool(S._deficit_ok(-0.02, 0.07, h))
+
+    def test_one_degree_step_wiggle_tolerated(self):
+        # Engaged (d1 >= 0.05): a 1-deg step (dcli ~ 0.12) with a small
+        # deficit DIP must still pass — the 0.025 slack covers transition
+        # front quantisation between adjacent points.
+        h = _hist(2, a1=6.0, cli1=0.90, d1=0.06)
+        assert bool(S._deficit_ok(0.045, 1.02, h))
 
     def test_negative_alpha_symmetry(self):
-        # At negative alpha the deficit is measured on |CL|; walking from
-        # -4 to -5 with a shrinking deficit is the same wrong basin.
-        h = _hist(2, a1=-4.0, d1=0.08)
-        assert not bool(S._deficit_ok(-5.0, 0.02, h))
-        assert bool(S._deficit_ok(-5.0, 0.10, h))
+        # Deep on the negative branch the loading |cli| grows as alpha
+        # falls; a shrinking engaged deficit is the same wrong basin.
+        h = _hist(2, a1=-6.0, cli1=0.55, d1=0.08)
+        assert not bool(S._deficit_ok(0.02, 0.70, h))
+        assert bool(S._deficit_ok(0.10, 0.70, h))
 
     def test_deficit_sign_convention(self):
         # Positive lift: deficit = cl_inv - cl; negative lift mirrored.
@@ -226,10 +243,11 @@ class TestWalk:
             return (jnp.asarray(0.0), jnp.asarray(0.0),
                     jnp.asarray(False))
 
-        # Per-point results jump UP toward the inviscid line at index 2:
-        # a relieved wrong basin. The deficit audit must block the
-        # re-anchor that the pre-round-5 walk would have taken.
-        cl_in = [0.0, 0.1, 0.35, 0.42, 0.49, 0.56]
+        # Per-point results jump UP toward the inviscid line at index 2
+        # and then RIDE its slope (0.12/step, frozen deficit): a relieved
+        # wrong basin. The deficit audit must block the re-anchor that
+        # the pre-round-5 walk would have taken.
+        cl_in = [0.0, 0.1, 0.35, 0.47, 0.59, 0.71]
         cl, cd, used = _run_walk(monkeypatch, 6, [True] * 6, cont,
                                  cl=cl_in)
         assert used[0] and used[1]
