@@ -190,8 +190,10 @@ def generate_corpus(out_dir: str, n: int = 500, seed: int = 0) -> list[str]:
     scaled): ~42% Lednicer with real formatting variation, ~8% adversarial
     hard-Lednicer (no counts line / annotated counts / 3-column rows),
     ~18% clean Selig, ~12% Selig with digitisation noise/headers/stray
-    points, ~5% reversed winding, ~5% closed-TE, ~6% multi-element (the
-    reference's dominant both-failed class: 105/142), ~4% degenerate
+    points, ~4.5% reversed winding, ~2% closed-TE, ~10.5% multi-element
+    (matching the reference's corpus share, 105/1000, its dominant
+    both-failed class — in three observed formats: bare concatenation,
+    blank-line separated, per-element sub-headers), ~3% degenerate
     (too few points / non-monotone). Geometry alternates between NACA4
     variants and the hard families above.
     """
@@ -240,23 +242,42 @@ def generate_corpus(out_dir: str, n: int = 500, seed: int = 0) -> list[str]:
             lines.insert(1, "# comment line")
             lines.append(f"{rng.uniform(5, 9):.3f} {rng.uniform(2, 4):.3f}")
             kind = "noisy"
-        elif u < 0.87:
+        elif u < 0.845:
             lines = _selig_lines(coords[::-1], header=f"{name} reversed")
             kind = "reversed"
-        elif u < 0.90:
+        elif u < 0.865:
             closed = np.vstack([coords, coords[:1]])
             closed[0, 1] = closed[-1, 1] = 0.0
             closed[0, 0] = closed[-1, 0] = 1.0
             lines = _selig_lines(closed, header=f"{name} closed TE")
             kind = "closed_te"
-        elif u < 0.96:
+        elif u < 0.97:
+            # Multi-element at the reference's share (105/1000 of its
+            # UIUC corpus, the dominant both-failed class) and in its
+            # observed formats: elements concatenated bare (the classic
+            # "non-monotone because it is a flap" signature), separated
+            # by a blank line, or each with its own sub-header line.
             flap = coords * 0.35 + np.array([1.05, -0.05])
             parts = [coords, flap]
-            if rng.random() < 0.3:
+            if rng.random() < 0.4:
                 slat = coords * 0.15 + np.array([-0.17, -0.02])
                 parts.insert(0, slat)
-            lines = _selig_lines(np.vstack(parts),
-                                 header=f"{name} multi-element")
+            style = rng.random()
+            if style < 0.4:
+                lines = _selig_lines(np.vstack(parts),
+                                     header=f"{name} multi-element")
+            elif style < 0.75:
+                lines = [f"{name.upper()} MULTI-ELEMENT SECTION"]
+                for part in parts:
+                    lines.extend(_selig_lines(part)[1:])
+                    lines.append("")
+                while lines and not lines[-1]:
+                    lines.pop()
+            else:
+                lines = [f"{name.upper()} WITH FLAP"]
+                for j, part in enumerate(parts):
+                    lines.append(f"ELEMENT {j + 1}")
+                    lines.extend(_selig_lines(part)[1:])
             kind = "multi"
         else:
             if rng.random() < 0.5:
