@@ -64,6 +64,20 @@ _TRIP_RESCUE = True
 # climbs.
 _TRIP_SLACK = 0.02
 
+# Continuation-preferred acceptance (XFOIL-ASEQ semantics). Once the walk
+# carries a real lift deficit (d1 >= _PREFER_CONT_D1 — the multi-basin
+# regime), the chain state continued from the previous accepted point is
+# BETTER evidence than an independently-converged per-point solve: the
+# per-point LM falls into the early-bubble basin on the suction peak
+# (measured 0012@1e6 alpha=8: free front 0.066 via a spurious Hk>5.5
+# bubble, CD +40.7%) while the continuation from the alpha-7.5 donor
+# tracks the attached-amplification basin XFOIL reports (r3-walk CD -1.0%
+# at alpha=10). Below the threshold (attached, near zero lift) per-point
+# adoption stays the cheap path — the lax.cond skips the cont solve — so
+# clean low-alpha points cost the walk nothing. Trace-time gate for A/B.
+_PREFER_CONT = True
+_PREFER_CONT_D1 = 0.05
+
 
 class PolarResult(NamedTuple):
     """Per-point polar arrays; all shapes (P,) for P (alpha, Re) pairs."""
@@ -170,6 +184,14 @@ def _trend_ok(a, cl, cd, hist):
     # known; curvature-scale slack when extrapolating from two.
     band_cl = jnp.where(two, 0.045 + 0.05 * jnp.abs(da),
                         0.05 + 0.13 * jnp.abs(da))
+    # The CL band is asymmetric like the CD band below, for the mirrored
+    # reason: wrong-basin errors are CL *jumps toward the inviscid line*
+    # (relieved states — also caught by the deficit audit), while genuine
+    # stall rollover is CL *decrease* that can exceed the linear-range
+    # band right at the peak (the slope swings from +0.1/deg to negative
+    # within a degree). A symmetric band rejected every honest post-peak
+    # point, capping the walk at CL_max.
+    band_cl_dn = jnp.maximum(band_cl, 0.06 + 0.12 * jnp.abs(da))
     # The CD band is asymmetric: wrong-basin errors are CD *collapses*
     # (a near-inviscid thin-BL solution reads half the physical drag),
     # while genuine sharp stall rollover is CD *growth* that can exceed
@@ -181,7 +203,8 @@ def _trend_ok(a, cl, cd, hist):
     band_cd_dn = jnp.where(two,
                            jnp.maximum(0.0015, 0.30 * jnp.abs(cd_pred)),
                            jnp.maximum(0.0030, 0.50 * jnp.abs(cd_pred)))
-    cl_ok = jnp.abs(cl - cl_pred) <= band_cl
+    cl_ok = jnp.logical_and(cl - cl_pred <= band_cl,
+                            cl_pred - cl <= band_cl_dn)
     cd_ok = jnp.logical_and(cd - cd_pred <= band_cd_up,
                             cd_pred - cd <= band_cd_dn)
     return jnp.logical_or(n_acc < 1, jnp.logical_and(cl_ok, cd_ok))
@@ -248,8 +271,19 @@ def _walk(op, a_seq, re_seq, active, seg_start, cli_seq, slack_seq,
         adopt1 = jnp.logical_or(adopt_trend, re_anchor)
         # Continuation is possible once the walk holds an accepted state.
         can_cont = hist[0] >= 1
+        # Chain preference (see _PREFER_CONT above): in the engaged regime
+        # the cont solve runs even when the per-point result would be
+        # adoptable, and wins the precedence below. A re-anchor keeps
+        # trusting the fresh per-point evidence (its whole point is that
+        # the carry is stale).
+        prefer = jnp.logical_and(
+            _PREFER_CONT,
+            jnp.logical_and(hist[8] >= _PREFER_CONT_D1,
+                            jnp.logical_not(re_anchor)))
         run_cont = jnp.logical_and(
-            act, jnp.logical_and(jnp.logical_not(adopt1), can_cont))
+            act, jnp.logical_and(
+                can_cont,
+                jnp.logical_or(prefer, jnp.logical_not(adopt1))))
 
         def cont(stc):
             mc, (nokc, st_new) = solve_polar_point_cont(
@@ -303,7 +337,13 @@ def _walk(op, a_seq, re_seq, active, seg_start, cli_seq, slack_seq,
             stc_new = _tree_where(usec, stc_new, stt_new)
             usec = jnp.logical_or(usec, uset)
 
-        use1 = jnp.logical_and(act, adopt1)
+        # Precedence: in the engaged regime an accepted cont/trip state
+        # wins over the per-point result (chain preference); otherwise
+        # the per-point adoption is the cheap first choice.
+        use1 = jnp.logical_and(
+            act, jnp.logical_and(
+                adopt1,
+                jnp.logical_not(jnp.logical_and(prefer, usec))))
         used = jnp.logical_or(use1, usec)
         m_out = _tree_where(use1, m1, _tree_where(usec, mc, zeros8))
         st_out = _tree_where(use1, st1, _tree_where(usec, stc_new, st))
