@@ -95,70 +95,19 @@ def _station_fractions(m: int, dtype) -> jnp.ndarray:
     return u**1.6
 
 
-# Adaptive station placement. The fixed power-law grid above spends ~the
-# same density at x ~ 0.03 regardless of alpha, but the regions that
-# actually need resolution move with alpha: at alpha = 8 the suction-peak
-# recovery (where the laminar layer separates into a short bubble and the
-# amplification field crosses n_crit) spans x ~ 0.02-0.06 and got ~4
-# stations of the 96 — measured as a 20-30% CD artifact that shrank to
-# ~6% at 192 uniform stations. Weighting the density by the INVISCID
-# edge-velocity log-gradient puts the stations where that physics lives
-# at every alpha without raising m (the dense LM solve is cubic in m).
-_ADAPT_K = 256          # dense sampling of the weight function
-# Gradient-weight strength. DEFAULT 0 (= the baseline power-law grid):
-# a full product-path A/B (TPU, all 16 anchors, 2026-08-19) measured the
-# gradient-adaptive grid shifting every calibrated transition basin (the
+# Station-resolution record (kept for the next calibration campaign): at
+# alpha = 8 the suction-peak recovery (x ~ 0.02-0.06, where the laminar
+# layer separates into a short bubble and the amplification field crosses
+# n_crit) gets ~4-8 of the 96 power-law stations; a 192-uniform-station
+# A/B shrank the associated 20-30% CD artifact to ~6%. An inviscid
+# log-gradient-weighted ADAPTIVE grid at m=96 was built and measured
+# (round 4/5): it shifted every calibrated transition basin (the
 # amplification H-modulation, trip ceilings and separation boosts were
-# all fit against the baseline grid's profiles): 0012 CD +23..26% across
-# the sweep and the all-laminar spurious basin reopened at Re=2e5. The
-# machinery stays (with the min-spacing fix) for a future recalibration
-# round; enable by setting _ADAPT_C > 0.
-_ADAPT_C = 0.0
-_ADAPT_WMAX = 6.0       # density-ratio cap (keeps neighbouring-alpha
-#                         grids close so continuation donor states and
-#                         the per-station Newton state transfer cleanly)
-
-
-def _adaptive_fractions(m, s_in, vt_in, s0, length, upper, dtype):
-    """Station fractions in [0,1] with density following the baseline
-    stagnation clustering PLUS the inviscid |d ln ue / d frac|."""
-    if _ADAPT_C == 0.0:
-        # Bit-exact baseline grid (every transition calibration was fit
-        # against it); the CDF inversion below reproduces it only to
-        # O(1/_ADAPT_K), which is enough to flip knife-edge basins.
-        return _station_fractions(m, dtype)
-    f = (jnp.arange(_ADAPT_K, dtype=dtype) + 0.5) / _ADAPT_K
-    s_q = s0 - f * length if upper else s0 + f * length
-    ue = jnp.interp(s_q, s_in, vt_in)
-    ue = jnp.maximum(jnp.abs(ue), 0.02)
-    dlnue = jnp.abs(jnp.diff(jnp.log(ue))) * _ADAPT_K
-    dlnue = jnp.concatenate([dlnue[:1], dlnue])
-    # The stagnation ramp (ue rising 0 -> O(1)) carries the largest
-    # log-gradient anywhere but is ALREADY served by the baseline
-    # clustering — gating it out keeps the extra density for the suction
-    # peak and recoveries instead of triple-stacking the first stations.
-    gate = jax.nn.sigmoid((ue - 0.55) / 0.08)
-    dlnue = dlnue * gate
-    # Light smoothing: station density must vary smoothly or the interval
-    # scheme sees spurious metric jumps.
-    for _ in range(3):
-        dlnue = 0.25 * (jnp.roll(dlnue, 1) + 2.0 * dlnue
-                        + jnp.roll(dlnue, -1))
-    # Baseline density reproducing frac = u^1.6 (density ~ f^-0.375),
-    # tempered at the stagnation end to stay finite.
-    w_base = (f + 5e-3) ** -0.375
-    w = w_base * jnp.clip(1.0 + _ADAPT_C * dlnue, 1.0, _ADAPT_WMAX)
-    cdf = jnp.cumsum(w)
-    cdf = cdf / cdf[-1]
-    q = (jnp.arange(m, dtype=dtype) + 1.0) / m
-    frac = jnp.interp(q, cdf, f)
-    # Strictly increasing with a minimum spacing (duplicate stations give
-    # zero-length intervals that blow up the interval residuals), then
-    # renormalised to end exactly at the TE.
-    d = jnp.diff(jnp.concatenate([jnp.zeros((1,), dtype), frac]))
-    d = jnp.maximum(d, 1.0 / (6.0 * m))
-    frac = jnp.cumsum(d)
-    return frac / frac[-1]
+# all fit against this baseline grid) — 0012 CD +23..26% across the sweep
+# and the all-laminar spurious basin reopened at Re=2e5 — so the
+# machinery was REMOVED rather than shipped dormant (VERDICT r4 item 9);
+# see git history (`_adaptive_fractions`) to resurrect it together with a
+# closure recalibration.
 
 
 def _find_stagnation(s_mid, vt, s_le):
@@ -220,14 +169,14 @@ def _side_stations(pan, vt, s0, upper: bool, m: int):
     vt_in = vt[1:-1]
     if upper:
         length = s0 - pan.s[0]
-        frac = _adaptive_fractions(m, s_in, vt_in, s0, length, True, dtype)
+        frac = _station_fractions(m, dtype)
         xi = frac * length
         s_q = s0 - xi
         s_q_ue = jnp.maximum(s_q, pan.s[0] + _TE_UE_MARGIN * length)
         ue = -_sample_side(s_in, vt_in, s_q_ue)
     else:
         length = pan.s[-1] - s0
-        frac = _adaptive_fractions(m, s_in, vt_in, s0, length, False, dtype)
+        frac = _station_fractions(m, dtype)
         xi = frac * length
         s_q = s0 + xi
         s_q_ue = jnp.minimum(s_q, pan.s[-1] - _TE_UE_MARGIN * length)

@@ -23,15 +23,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 # Persistent compilation cache: the coupled-solver graphs take minutes to
-# build; repeat suite runs hit the cache instead.
-_CACHE_DIR = os.environ.get(
-    "AIRFOIL_TPU_JAX_CACHE", os.path.expanduser("~/.cache/airfoil_tpu_jax"))
-try:
-    os.makedirs(_CACHE_DIR, exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", _CACHE_DIR)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-except Exception:
-    pass
+# build; repeat suite runs hit the cache instead. PER-HOST directory —
+# XLA:CPU AOT artifacts from another machine load with a feature-mismatch
+# warning and then execute wrongly (silent bad numbers, not a crash).
+from airfoil_tpu.utils.compile_cache import enable_persistent_compile_cache
+
+enable_persistent_compile_cache(per_host=True)
 
 import numpy as np
 import pytest
