@@ -99,7 +99,7 @@ def _parity_extra():
         return None
 
 
-def _probe_tpu(timeout_s: float = 180.0) -> bool:
+def _probe_tpu(timeout_s: float = 420.0) -> bool:
     """True iff the TPU (axon) backend initialises and runs a matmul.
 
     Probed in a SUBPROCESS with a hard timeout: a down tunnel makes
