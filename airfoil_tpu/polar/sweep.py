@@ -184,14 +184,13 @@ def _trend_ok(a, cl, cd, hist):
     # known; curvature-scale slack when extrapolating from two.
     band_cl = jnp.where(two, 0.045 + 0.05 * jnp.abs(da),
                         0.05 + 0.13 * jnp.abs(da))
-    # The CL band is asymmetric like the CD band below, for the mirrored
-    # reason: wrong-basin errors are CL *jumps toward the inviscid line*
-    # (relieved states — also caught by the deficit audit), while genuine
-    # stall rollover is CL *decrease* that can exceed the linear-range
-    # band right at the peak (the slope swings from +0.1/deg to negative
-    # within a degree). A symmetric band rejected every honest post-peak
-    # point, capping the walk at CL_max.
-    band_cl_dn = jnp.maximum(band_cl, 0.06 + 0.12 * jnp.abs(da))
+    # The CL band stays SYMMETRIC, unlike the CD band below. An
+    # asymmetric variant (loose downward, to admit genuine post-peak CL
+    # decrease at stall) was built and parity-A/B'd on TPU (2026-08-21):
+    # it never bought the rollover (2412@1e6 envelope unchanged at 12
+    # deg) and the looser downward acceptance changed the 4412 chain
+    # identity enough to flip its alpha=8 anchor from CD +3.2% to +28%
+    # (all-anchor median 12.3% -> 14.7%) — reverted on that evidence.
     # The CD band is asymmetric: wrong-basin errors are CD *collapses*
     # (a near-inviscid thin-BL solution reads half the physical drag),
     # while genuine sharp stall rollover is CD *growth* that can exceed
@@ -203,8 +202,7 @@ def _trend_ok(a, cl, cd, hist):
     band_cd_dn = jnp.where(two,
                            jnp.maximum(0.0015, 0.30 * jnp.abs(cd_pred)),
                            jnp.maximum(0.0030, 0.50 * jnp.abs(cd_pred)))
-    cl_ok = jnp.logical_and(cl - cl_pred <= band_cl,
-                            cl_pred - cl <= band_cl_dn)
+    cl_ok = jnp.abs(cl - cl_pred) <= band_cl
     cd_ok = jnp.logical_and(cd - cd_pred <= band_cd_up,
                             cd_pred - cd <= band_cd_dn)
     return jnp.logical_or(n_acc < 1, jnp.logical_and(cl_ok, cd_ok))
