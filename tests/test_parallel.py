@@ -26,6 +26,16 @@ pytestmark = pytest.mark.slow
 N_DEV = len(jax.devices())
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _no_cache_writes():
+    """Persistent-cache opt-out — see test_polar._no_cache_writes: XLA:CPU
+    serialize() segfaults on the big sharded executables on some hosts."""
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
+
 @pytest.fixture(scope="module")
 def coords():
     return np.asarray(naca4(2, 4, 12, 80), np.float32)

@@ -7,6 +7,26 @@ import pytest
 # default `-m 'not slow'` run must stay under 5 min cold).
 pytestmark = pytest.mark.slow
 
+
+@pytest.fixture(scope="module", autouse=True)
+def _no_cache_writes():
+    """Disable the persistent compile cache for this module.
+
+    XLA:CPU's ``executable.serialize()`` SEGFAULTS (not raises) on the
+    largest polar-pipeline executables on some hosts — observed twice,
+    deterministically, inside jax's ``put_executable_and_time`` while
+    persisting this module's batch kernels and test_parallel's sharded
+    kernels. A crash kills the whole pytest process, so the write cannot
+    be guarded with try/except; these modules simply opt out and pay
+    their compile each run (they are the slow tier already).
+    """
+    import jax
+
+    old = jax.config.jax_compilation_cache_dir
+    jax.config.update("jax_compilation_cache_dir", None)
+    yield
+    jax.config.update("jax_compilation_cache_dir", old)
+
 from airfoil_tpu.models import naca4
 from airfoil_tpu.polar import analyze_airfoil, solve_polar
 from airfoil_tpu.polar.sweep import (
